@@ -1,0 +1,55 @@
+"""CTC head. ref: wenet/models/transformer/ctc.py:22-92.
+
+Loss uses optax.ctc_loss (XLA-friendly alpha-recursion over lax.scan)
+instead of torch.nn.CTCLoss; semantics match the reference's
+sum-reduction / batch-size averaging.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from wenet_tpu.utils.mask import make_pad_mask
+
+
+class CTC(nn.Module):
+    odim: int
+    encoder_output_size: int
+    dropout_rate: float = 0.0
+    blank_id: int = 0
+
+    def setup(self):
+        self.ctc_lo = nn.Dense(self.odim, name='ctc_lo')
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, hs_pad: jax.Array, hlens: jax.Array,
+                 ys_pad: jax.Array, ys_lens: jax.Array,
+                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """Returns (batch-averaged ctc loss, log-probs (B, T, V)).
+
+        ys_pad may be IGNORE_ID padded; pads are masked via ys_lens."""
+        h = self.dropout(hs_pad, deterministic=not train)
+        logits = self.ctc_lo(h)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        logit_paddings = make_pad_mask(hlens, hs_pad.shape[1]).astype(
+            jnp.float32)
+        label_paddings = make_pad_mask(ys_lens, ys_pad.shape[1]).astype(
+            jnp.float32)
+        labels = jnp.where(label_paddings > 0, self.blank_id,
+                           ys_pad).astype(jnp.int32)
+        per_seq = optax.ctc_loss(logits.astype(jnp.float32), logit_paddings,
+                                 labels, label_paddings,
+                                 blank_id=self.blank_id)
+        # zero_infinity=True analog: drop infeasible (T < U) sequences
+        per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
+        loss = jnp.sum(per_seq) / hs_pad.shape[0]
+        return loss, logprobs
+
+    def log_softmax(self, hs_pad: jax.Array) -> jax.Array:
+        return jax.nn.log_softmax(self.ctc_lo(hs_pad), axis=-1)
+
+    def logits(self, hs_pad: jax.Array) -> jax.Array:
+        return self.ctc_lo(hs_pad)

@@ -1,0 +1,301 @@
+"""Transformer / Conformer encoders with streaming chunk forward.
+
+TPU-native rebuild of ref wenet/models/transformer/encoder.py:34-553.
+Differences from the reference:
+
+* `forward_chunk` is a pure function over a fixed-shape cache pytree
+  (right-aligned KV window + conv left context + validity handled by the
+  caller's att_mask).  The reference grows caches dynamically
+  (encoder.py:255-298); fixed shapes mean the chunk step jit-compiles
+  exactly once per (batch, chunk, cache) config.
+* Dynamic-chunk training draws the chunk size from a jax PRNG inside the
+  traced step (utils/mask.py), keeping the whole train step one XLA
+  program.
+"""
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from wenet_tpu.models.transformer.cmvn import GlobalCMVN
+from wenet_tpu.models.transformer.embedding import (
+    NoPositionalEncoding, PositionalEncoding, RelPositionalEncoding,
+    RopePositionalEncoding, WhisperPositionalEncoding)
+from wenet_tpu.models.transformer.encoder_layer import (
+    ConformerEncoderLayer, TransformerEncoderLayer)
+from wenet_tpu.models.transformer.norm import get_norm
+from wenet_tpu.models.transformer.subsampling import SUBSAMPLE_CLASSES
+from wenet_tpu.utils.mask import (add_optional_chunk_mask, make_pad_mask)
+
+IntLike = Union[int, jax.Array]
+
+# encoder streaming cache: (k, v) stacked over layers + conv state
+#   att_k/att_v: (num_blocks, B, h_kv, cache_t1, d_k)
+#   cnn:         (num_blocks, B, lorder, size)   (absent for transformer)
+EncoderCache = Tuple[Optional[Tuple[jax.Array, jax.Array]],
+                     Optional[jax.Array]]
+
+
+def make_pos_enc(pos_enc_layer_type: str, output_size: int,
+                 positional_dropout_rate: float, attention_heads: int,
+                 name: str = 'pos_enc'):
+    if pos_enc_layer_type == 'abs_pos':
+        return PositionalEncoding(output_size, positional_dropout_rate,
+                                  name=name)
+    if pos_enc_layer_type == 'rel_pos':
+        return RelPositionalEncoding(output_size, positional_dropout_rate,
+                                     name=name)
+    if pos_enc_layer_type == 'abs_pos_whisper':
+        return WhisperPositionalEncoding(output_size,
+                                         positional_dropout_rate, name=name)
+    if pos_enc_layer_type == 'rope_pos':
+        return RopePositionalEncoding(output_size,
+                                      output_size // attention_heads,
+                                      positional_dropout_rate, name=name)
+    if pos_enc_layer_type == 'no_pos':
+        return NoPositionalEncoding(output_size, positional_dropout_rate,
+                                    name=name)
+    raise ValueError(pos_enc_layer_type)
+
+
+class BaseEncoder(nn.Module):
+    """Shared encoder trunk config. ref: encoder.py:34-118."""
+    input_size: int
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = 'conv2d'
+    pos_enc_layer_type: str = 'abs_pos'
+    normalize_before: bool = True
+    static_chunk_size: int = 0
+    use_dynamic_chunk: bool = False
+    use_cmvn: bool = False
+    cmvn_norm_var: bool = True
+    use_dynamic_left_chunk: bool = False
+    gradient_checkpointing: bool = False
+    layer_norm_type: str = 'layer_norm'
+    norm_eps: float = 1e-5
+    final_norm: bool = True
+    query_bias: bool = True
+    key_bias: bool = True
+    value_bias: bool = True
+    activation_type: str = 'relu'
+    n_kv_head: Optional[int] = None
+    head_dim: Optional[int] = None
+    mlp_type: str = 'position_wise_feed_forward'
+    mlp_bias: bool = True
+    n_expert: int = 8
+    n_expert_activated: int = 2
+
+    def make_layers(self):
+        raise NotImplementedError
+
+    def setup(self):
+        if self.use_cmvn:
+            self.global_cmvn = GlobalCMVN(self.input_size,
+                                          self.cmvn_norm_var,
+                                          name='global_cmvn')
+        pos_enc = make_pos_enc(self.pos_enc_layer_type, self.output_size,
+                               self.positional_dropout_rate,
+                               self.attention_heads)
+        self.embed = SUBSAMPLE_CLASSES[self.input_layer](
+            idim=self.input_size, odim=self.output_size,
+            dropout_rate=self.dropout_rate, pos_enc=pos_enc, name='embed')
+        self.after_norm = get_norm(self.layer_norm_type, self.output_size,
+                                   self.norm_eps, name='after_norm')
+        self.encoders = self.make_layers()
+
+    # ------------------------------------------------------------------
+    def __call__(self,
+                 xs: jax.Array,
+                 xs_lens: jax.Array,
+                 decoding_chunk_size: int = 0,
+                 num_decoding_left_chunks: int = -1,
+                 train: bool = False,
+                 chunk_rng: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, jax.Array]:
+        """Full (padded-batch) forward. ref: encoder.py:122-181.
+
+        Returns (xs (B, T', D), masks (B, 1, T'))."""
+        T = xs.shape[1]
+        masks = ~make_pad_mask(xs_lens, T)[:, None, :]  # (B, 1, T)
+        if self.use_cmvn:
+            xs = self.global_cmvn(xs)
+        xs, pos_emb, masks = self.embed(xs, masks,
+                                        deterministic=not train)
+        mask_pad = masks
+        chunk_masks = add_optional_chunk_mask(
+            masks, self.use_dynamic_chunk, self.use_dynamic_left_chunk,
+            decoding_chunk_size, self.static_chunk_size,
+            num_decoding_left_chunks,
+            max_chunk_size=int(100.0 / self.embed.subsampling_rate),
+            rng=chunk_rng)
+        for layer in self.encoders:
+            xs, chunk_masks, _, _ = layer(xs, chunk_masks, pos_emb,
+                                          mask_pad, train=train)
+        if self.normalize_before and self.final_norm:
+            xs = self.after_norm(xs)
+        return xs, masks
+
+    # ------------------------------------------------------------------
+    def forward_chunk(
+        self,
+        xs: jax.Array,
+        offset: IntLike,
+        att_cache: Tuple[jax.Array, jax.Array],
+        cnn_cache: Optional[jax.Array],
+        att_mask: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array], Optional[jax.Array]]:
+        """One streaming chunk with fixed-size right-aligned caches.
+
+        ref: encoder.py:204-300.  Args:
+          xs: (B, time, mel) raw-feature chunk
+            (time == (chunk-1)*subsample + right_context + 1)
+          offset: encoder-frame offset of this chunk's first output
+          att_cache: (k, v), each (num_blocks, B, h_kv, cache_t1, d_k);
+            cache_t1 is the *static* required_cache_size; slots whose
+            att_mask bit is 0 are padding (early chunks)
+          cnn_cache: (num_blocks, B, lorder, size) or None
+          att_mask: (B, 1, cache_t1 + chunk_out) bool marking valid cache
+            slots followed by the current chunk (all True)
+        Returns (ys (B, chunk_out, D), new att_cache, new cnn_cache) with
+        identical shapes — ready for the next call.
+        """
+        B = xs.shape[0]
+        tmp_mask = jnp.ones((B, 1, xs.shape[1]), bool)
+        if self.use_cmvn:
+            xs = self.global_cmvn(xs)
+        xs, _, _ = self.embed(xs, tmp_mask, offset)
+        k_cache, v_cache = att_cache
+        cache_t1 = k_cache.shape[-2]
+        chunk_size = xs.shape[1]
+        attention_key_size = cache_t1 + chunk_size
+        pos_emb = self.embed.position_encoding(
+            jnp.asarray(offset, jnp.int32) - cache_t1, attention_key_size)
+        new_k, new_v, new_cnn = [], [], []
+        for i, layer in enumerate(self.encoders):
+            kv = (k_cache[i], v_cache[i])
+            xs, _, new_kv, layer_cnn = layer(
+                xs, att_mask, pos_emb,
+                mask_pad=None,
+                att_cache=kv,
+                cnn_cache=None if cnn_cache is None else cnn_cache[i])
+            # right-aligned fixed window (ref keeps [next_cache_start:])
+            new_k.append(new_kv[0][:, :, -cache_t1:, :])
+            new_v.append(new_kv[1][:, :, -cache_t1:, :])
+            if layer_cnn is not None:
+                new_cnn.append(layer_cnn)
+        if self.normalize_before and self.final_norm:
+            xs = self.after_norm(xs)
+        r_att = (jnp.stack(new_k, 0), jnp.stack(new_v, 0))
+        r_cnn = jnp.stack(new_cnn, 0) if new_cnn else None
+        return xs, r_att, r_cnn
+
+    # ------------------------------------------------------------------
+    def zero_cache(self, batch_size: int, required_cache_size: int,
+                   dtype=jnp.float32):
+        """Build an all-invalid streaming cache (used before chunk 0)."""
+        d_k = (self.output_size // self.attention_heads
+               if self.head_dim is None else self.head_dim)
+        h_kv = (self.attention_heads
+                if self.n_kv_head is None else self.n_kv_head)
+        k = jnp.zeros((self.num_blocks, batch_size, h_kv,
+                       required_cache_size, d_k), dtype)
+        cnn = None
+        lorder = getattr(self, 'cnn_lorder', 0)
+        if lorder:
+            cnn = jnp.zeros((self.num_blocks, batch_size, lorder,
+                             self.output_size), dtype)
+        return (k, k), cnn
+
+
+class TransformerEncoder(BaseEncoder):
+    """ref: encoder.py:365-436."""
+    selfattention_layer_type: str = 'selfattn'
+
+    cnn_lorder: int = 0
+
+    def make_layers(self):
+        layer_cls = TransformerEncoderLayer
+        if self.gradient_checkpointing:
+            layer_cls = nn.remat(layer_cls, static_argnums=(7,))
+        return [
+            layer_cls(
+                size=self.output_size,
+                attention_heads=self.attention_heads,
+                linear_units=self.linear_units,
+                dropout_rate=self.dropout_rate,
+                attention_dropout_rate=self.attention_dropout_rate,
+                normalize_before=self.normalize_before,
+                layer_norm_type=self.layer_norm_type,
+                norm_eps=self.norm_eps,
+                selfattention_layer_type=self.selfattention_layer_type,
+                activation_type=self.activation_type,
+                mlp_type=self.mlp_type, mlp_bias=self.mlp_bias,
+                n_expert=self.n_expert,
+                n_expert_activated=self.n_expert_activated,
+                query_bias=self.query_bias, key_bias=self.key_bias,
+                value_bias=self.value_bias, n_kv_head=self.n_kv_head,
+                head_dim=self.head_dim,
+            ) for _ in range(self.num_blocks)
+        ]
+
+
+class ConformerEncoder(BaseEncoder):
+    """ref: encoder.py:438-553."""
+    pos_enc_layer_type: str = 'rel_pos'
+    selfattention_layer_type: str = 'rel_selfattn'
+    activation_type: str = 'swish'
+    macaron_style: bool = True
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 15
+    causal: bool = False
+    cnn_module_norm: str = 'batch_norm'
+    conv_bias: bool = True
+    conv_norm_eps: float = 1e-5
+    conv_inner_factor: int = 2
+
+    @property
+    def cnn_lorder(self) -> int:
+        if self.use_cnn_module and self.causal:
+            return self.cnn_module_kernel - 1
+        return 0
+
+    def make_layers(self):
+        layer_cls = ConformerEncoderLayer
+        if self.gradient_checkpointing:
+            layer_cls = nn.remat(layer_cls, static_argnums=(7,))
+        return [
+            layer_cls(
+                size=self.output_size,
+                attention_heads=self.attention_heads,
+                linear_units=self.linear_units,
+                dropout_rate=self.dropout_rate,
+                attention_dropout_rate=self.attention_dropout_rate,
+                normalize_before=self.normalize_before,
+                layer_norm_type=self.layer_norm_type,
+                norm_eps=self.norm_eps,
+                selfattention_layer_type=self.selfattention_layer_type,
+                activation_type=self.activation_type,
+                macaron_style=self.macaron_style,
+                use_cnn_module=self.use_cnn_module,
+                cnn_module_kernel=self.cnn_module_kernel,
+                causal=self.causal,
+                cnn_module_norm=self.cnn_module_norm,
+                conv_bias=self.conv_bias,
+                conv_norm_eps=self.conv_norm_eps,
+                conv_inner_factor=self.conv_inner_factor,
+                mlp_type=self.mlp_type, mlp_bias=self.mlp_bias,
+                n_expert=self.n_expert,
+                n_expert_activated=self.n_expert_activated,
+                query_bias=self.query_bias, key_bias=self.key_bias,
+                value_bias=self.value_bias, n_kv_head=self.n_kv_head,
+                head_dim=self.head_dim,
+            ) for _ in range(self.num_blocks)
+        ]

@@ -1,0 +1,39 @@
+"""Label smoothing KL loss. ref: wenet/models/transformer/label_smoothing_loss.py:21-106.
+
+Pure function: no scatter into a dense true-dist tensor — the KL against
+the smoothed one-hot reduces to
+    sum_v p(v) * (log p(v) - log q(v))
+with p = smoothed one-hot, computed directly from logits.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def label_smoothing_loss(logits: jax.Array,
+                         target: jax.Array,
+                         size: int,
+                         padding_idx: int,
+                         smoothing: float,
+                         normalize_length: bool = False) -> jax.Array:
+    """logits: (B, L, V); target: (B, L) with padding_idx pads."""
+    B = logits.shape[0]
+    confidence = 1.0 - smoothing
+    low = smoothing / (size - 1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ignore = target == padding_idx
+    tgt = jnp.where(ignore, 0, target)
+    # KL(p || q) with p the smoothed one-hot; constant entropy term of p
+    # is included to match torch.nn.KLDivLoss exactly.
+    logp_true = jnp.take_along_axis(logp, tgt[..., None],
+                                    axis=-1).squeeze(-1)
+    sum_logp = jnp.sum(logp, axis=-1)
+    cross = -(confidence * logp_true + low * (sum_logp - logp_true))
+    # entropy of p (same for every position): sum p log p
+    ent = (confidence * jnp.log(jnp.maximum(confidence, 1e-38)) +
+           (size - 1) * low * jnp.log(jnp.maximum(low, 1e-38)))
+    kl = cross + ent
+    kl = jnp.where(ignore, 0.0, kl)
+    total = jnp.maximum(jnp.sum(~ignore), 1)
+    denom = total if normalize_length else B
+    return jnp.sum(kl) / denom
