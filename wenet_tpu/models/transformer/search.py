@@ -1,0 +1,544 @@
+"""Decode algorithms: CTC greedy / CTC prefix beam / attention beam /
+attention rescoring.
+
+TPU-native rebuild of ref wenet/models/transformer/search.py:109-458.
+The reference's CTC prefix beam search is an explicitly-sequential python
+dict loop per (utt, frame, token) ("can not be paralleled",
+ref search.py:140); here it is a batched fixed-shape `lax.scan`:
+
+* a beam entry is (tokens[Umax], len, last, pb, pnb) plus viterbi state;
+* prefix identity is a pair of 32-bit rolling hashes (effective 64-bit),
+  equal prefixes are merged by lexsorted segment log-add;
+* everything is (B, K, ...) shaped, one XLA program for the whole batch.
+
+Attention beam search runs the decoder as a lax.scan over a fixed-size
+ring KV cache (ref runs a python loop with growing torch.cat caches,
+search.py:302-354).
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wenet_tpu.utils.ctc_utils import remove_duplicates_and_blank
+from wenet_tpu.utils.mask import (make_pad_mask, mask_finished_preds,
+                                  mask_finished_scores)
+
+NEG_INF = -1.0e30
+
+
+@dataclass
+class DecodeResult:
+    """ref: search.py:30-61."""
+    tokens: List[int]
+    score: float = 0.0
+    confidence: float = 0.0
+    tokens_confidence: Optional[List[float]] = None
+    times: Optional[List[int]] = None
+    nbest: Optional[List[List[int]]] = None
+    nbest_scores: Optional[List[float]] = None
+    nbest_times: Optional[List[List[int]]] = None
+    text: str = ''
+
+
+# ---------------------------------------------------------------------------
+# CTC greedy
+# ---------------------------------------------------------------------------
+def ctc_greedy_search(ctc_probs: jax.Array, ctc_lens: jax.Array,
+                      blank_id: int = 0) -> List[DecodeResult]:
+    """ref: search.py:109-124."""
+    B, T, _ = ctc_probs.shape
+    topk_index = jnp.argmax(ctc_probs, axis=2)  # (B, T)
+    pad = make_pad_mask(ctc_lens, T)
+    topk_index = jnp.where(pad, blank_id, topk_index)
+    hyps = np.asarray(topk_index)
+    return [
+        DecodeResult(remove_duplicates_and_blank(list(h), blank_id))
+        for h in hyps
+    ]
+
+
+# ---------------------------------------------------------------------------
+# CTC prefix beam search (vectorized)
+# ---------------------------------------------------------------------------
+_HASH_P1 = np.int32(1000003)
+_HASH_P2 = np.int32(998244353)
+
+
+def _segment_logsumexp(x, seg_id, num_segments):
+    m = jax.ops.segment_max(x, seg_id, num_segments=num_segments)
+    m_safe = jnp.where(m <= NEG_INF, 0.0, m)
+    s = jax.ops.segment_sum(jnp.exp(x - m_safe[seg_id]), seg_id,
+                            num_segments=num_segments)
+    out = m_safe + jnp.log(jnp.maximum(s, 1e-38))
+    return jnp.where(m <= NEG_INF, NEG_INF, out)
+
+
+def _prefix_beam_step(state, inputs, beam_size, blank_id, vocab_topk):
+    """One frame of batched prefix beam search for a single utterance.
+
+    state:
+      tokens (K, U) int32, lens (K,), h1/h2 (K,) int32 rolling hashes,
+      pb/pnb (K,) float32, vs/vns (K,), ctp (K,),
+      times_s/times_ns (K, U) int32
+    inputs: (logp (V,), t (scalar), valid (bool))
+    """
+    (tokens, lens, h1, h2, pb, pnb, vs, vns, ctp, times_s,
+     times_ns) = state
+    logp, t, valid = inputs
+    K, U = tokens.shape
+    Kp = vocab_topk
+
+    top_logp, top_idx = jax.lax.top_k(logp, Kp)  # (Kp,)
+
+    score = jnp.logaddexp(pb, pnb)  # (K,)
+    vit = jnp.maximum(vs, vns)  # viterbi_score
+    use_s = vs > vns  # which times array is "times()"
+
+    last = jnp.where(lens > 0,
+                     jnp.take_along_axis(
+                         tokens, jnp.maximum(lens - 1, 0)[:, None],
+                         axis=1)[:, 0], -1)  # (K,)
+
+    # broadcast (K, Kp)
+    u = jnp.broadcast_to(top_idx[None, :], (K, Kp))
+    p = jnp.broadcast_to(top_logp[None, :], (K, Kp))
+    is_blank = u == blank_id
+    is_rep = u == last[:, None]
+
+    # ---- slot 1: "stay" candidates (target = prefix_i) ----------------
+    # blank: pb_contrib = score + p ; repeat: pnb_contrib = pnb + p
+    stay_pb = jnp.where(is_blank, score[:, None] + p, NEG_INF)
+    stay_pnb = jnp.where(is_rep & ~is_blank, pnb[:, None] + p, NEG_INF)
+    stay_active = is_blank | (is_rep & ~is_blank)
+    # viterbi for stay: blank -> v_s cand = vit + p (times = times())
+    #                   repeat -> v_ns cand = vns + p (times_ns, maybe t)
+    stay_vs = jnp.where(is_blank, vit[:, None] + p, NEG_INF)
+    stay_vns = jnp.where(is_rep & ~is_blank, vns[:, None] + p, NEG_INF)
+    stay_h1 = jnp.broadcast_to(h1[:, None], (K, Kp))
+    stay_h2 = jnp.broadcast_to(h2[:, None], (K, Kp))
+
+    # ---- slot 2: "extend" candidates (target = prefix_i + u) ----------
+    # repeat: pnb_contrib = pb + p (via blank) ; other: score + p
+    ext_active = ~is_blank
+    ext_pnb = jnp.where(is_rep, pb[:, None] + p, score[:, None] + p)
+    ext_pnb = jnp.where(ext_active, ext_pnb, NEG_INF)
+    ext_vns = jnp.where(is_rep, vs[:, None] + p, vit[:, None] + p)
+    ext_vns = jnp.where(ext_active, ext_vns, NEG_INF)
+    # extend uses parent times_s (repeat) or times() (other), append t
+    # NOTE: rolling hashes wrap around int32 (that's fine, they're only
+    # equality keys); activity is tracked by explicit flags, never by
+    # sentinel hash values.
+    ext_h1 = h1[:, None] * _HASH_P1 + u + 1
+    ext_h2 = h2[:, None] * _HASH_P2 + u + 1
+
+    # ---- pool: N = 2*K*Kp ---------------------------------------------
+    parent = jnp.broadcast_to(jnp.arange(K)[:, None], (K, Kp))
+
+    def flat(x):
+        return x.reshape(-1)
+
+    pool_h1 = jnp.concatenate([flat(stay_h1), flat(ext_h1)])
+    pool_h2 = jnp.concatenate([flat(stay_h2), flat(ext_h2)])
+    pool_pb = jnp.concatenate([flat(stay_pb),
+                               jnp.full((K * Kp,), NEG_INF)])
+    pool_pnb = jnp.concatenate([flat(stay_pnb), flat(ext_pnb)])
+    pool_vs = jnp.concatenate([flat(stay_vs),
+                               jnp.full((K * Kp,), NEG_INF)])
+    pool_vns = jnp.concatenate([flat(stay_vns), flat(ext_vns)])
+    pool_parent = jnp.concatenate([flat(parent), flat(parent)])
+    pool_u = jnp.concatenate([jnp.full((K * Kp,), -1), flat(u)])
+    pool_p = jnp.concatenate([flat(p), flat(p)])
+    pool_isrep = jnp.concatenate(
+        [jnp.zeros((K * Kp,), bool), flat(is_rep)])
+    pool_active = jnp.concatenate([flat(stay_active), flat(ext_active)])
+    N = pool_h1.shape[0]
+
+    # ---- merge by (active, h1, h2) ------------------------------------
+    # inactive slots sort last and land in their own segments
+    inact = (~pool_active).astype(jnp.int32)
+    order = jnp.lexsort((pool_h2, pool_h1, inact))
+    sh1 = pool_h1[order]
+    sh2 = pool_h2[order]
+    sact = pool_active[order]
+    new_seg = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1]) |
+        (sact[1:] != sact[:-1])
+    ])
+    seg_id = jnp.cumsum(new_seg) - 1  # (N,) sorted-order segment ids
+    num_seg = N
+
+    s_pb = pool_pb[order]
+    s_pnb = pool_pnb[order]
+    seg_pb = _segment_logsumexp(s_pb, seg_id, num_seg)
+    seg_pnb = _segment_logsumexp(s_pnb, seg_id, num_seg)
+    seg_score = jnp.logaddexp(seg_pb, seg_pnb)
+    seg_first = jax.ops.segment_min(jnp.arange(N), seg_id,
+                                    num_segments=num_seg)
+    seg_valid = jax.ops.segment_max(sact.astype(jnp.int32), seg_id,
+                                    num_segments=num_seg) > 0
+    seg_score = jnp.where(seg_valid, seg_score, NEG_INF)
+
+    # viterbi merge
+    s_vs = pool_vs[order]
+    s_vns = pool_vns[order]
+    seg_vs = jax.ops.segment_max(s_vs, seg_id, num_segments=num_seg)
+    seg_vns = jax.ops.segment_max(s_vns, seg_id, num_segments=num_seg)
+    # winner member index (within pool order) for v_ns / v_s
+    arangeN = jnp.arange(N)
+    is_vns_winner = (s_vns >= seg_vns[seg_id] - 1e-9) & (s_vns > NEG_INF)
+    vns_winner = jax.ops.segment_min(
+        jnp.where(is_vns_winner, arangeN, N), seg_id,
+        num_segments=num_seg)
+    is_vs_winner = (s_vs >= seg_vs[seg_id] - 1e-9) & (s_vs > NEG_INF)
+    vs_winner = jax.ops.segment_min(
+        jnp.where(is_vs_winner, arangeN, N), seg_id, num_segments=num_seg)
+
+    # ---- top-K segments ------------------------------------------------
+    topk_score, topk_seg = jax.lax.top_k(seg_score, K)
+
+    rep_member = seg_first[topk_seg]  # representative pool index (sorted)
+    rep_pool = order[rep_member]
+    rep_parent = pool_parent[rep_pool]
+    rep_u = pool_u[rep_pool]
+    is_ext = rep_u >= 0
+
+    new_lens = jnp.where(is_ext, lens[rep_parent] + 1, lens[rep_parent])
+    new_tokens = tokens[rep_parent]
+    write_pos = jnp.minimum(new_lens - 1, U - 1)
+    new_tokens = jnp.where(
+        is_ext[:, None] &
+        (jnp.arange(U)[None, :] == write_pos[:, None]),
+        rep_u[:, None], new_tokens)
+    new_h1 = sh1[rep_member]
+    new_h2 = sh2[rep_member]
+    new_pb = seg_pb[topk_seg]
+    new_pnb = seg_pnb[topk_seg]
+    new_vs = seg_vs[topk_seg]
+    new_vns = seg_vns[topk_seg]
+
+    # ---- times / cur_token_prob for winners ----------------------------
+    def member_times_ns(widx):
+        """times_ns for the v_ns winning member (pool idx, may be N)."""
+        w = jnp.minimum(widx, N - 1)
+        pidx = order[w]
+        par = pool_parent[pidx]
+        uu = pool_u[pidx]
+        rep = pool_isrep[pidx]
+        ext = uu >= 0
+        parent_times = jnp.where(
+            ext & rep, times_s[par],
+            jnp.where(ext, jnp.where(use_s[par, None], times_s[par],
+                                     times_ns[par]), times_ns[par]))
+        L = jnp.where(ext, lens[par] + 1, lens[par])
+        wp = jnp.minimum(L - 1, U - 1)
+        # extend: append t; stay-repeat: overwrite last if p > ctp[par]
+        upd = ext | (rep & (pool_p[pidx] > ctp[par]))
+        out = jnp.where(
+            (jnp.arange(U) == wp) & upd, t, parent_times)
+        new_ctp = jnp.where(ext, pool_p[pidx],
+                            jnp.maximum(ctp[par], pool_p[pidx]))
+        return out, new_ctp
+
+    vns_w = vns_winner[topk_seg]
+    tns, new_ctp = jax.vmap(member_times_ns)(vns_w)
+    have_ns = vns_w < N
+    new_times_ns = jnp.where(have_ns[:, None], tns,
+                             times_ns[rep_parent])
+    new_ctp = jnp.where(have_ns, new_ctp, ctp[rep_parent])
+
+    def member_times_s(widx):
+        w = jnp.minimum(widx, N - 1)
+        pidx = order[w]
+        par = pool_parent[pidx]
+        return jnp.where(use_s[par, None], times_s[par], times_ns[par])
+
+    vs_w = vs_winner[topk_seg]
+    ts = jax.vmap(member_times_s)(vs_w)
+    new_times_s = jnp.where((vs_w < N)[:, None], ts, times_s[rep_parent])
+
+    new_state = (new_tokens, new_lens, new_h1, new_h2, new_pb, new_pnb,
+                 new_vs, new_vns, new_ctp, new_times_s, new_times_ns)
+    # frames beyond the utterance length are no-ops
+    carry = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(
+            jnp.reshape(valid, (1,) * new.ndim), new, old), new_state,
+        state)
+    return carry, None
+
+
+def _prefix_beam_search_single(ctc_prob, num_t, beam_size, blank_id):
+    """Scan over frames for one utterance. ctc_prob: (T, V)."""
+    T, V = ctc_prob.shape
+    U = T
+    K = beam_size
+    tokens = jnp.zeros((K, U), jnp.int32)
+    lens = jnp.zeros((K,), jnp.int32)
+    h1 = jnp.zeros((K,), jnp.int32)
+    h2 = jnp.zeros((K,), jnp.int32)
+    # only beam 0 alive initially (empty prefix), others -inf
+    pb = jnp.full((K,), NEG_INF).at[0].set(0.0)
+    pnb = jnp.full((K,), NEG_INF)
+    vs = jnp.full((K,), NEG_INF).at[0].set(0.0)
+    vns = jnp.full((K,), NEG_INF).at[0].set(0.0)
+    # distinct fake hashes for dead beams so they never merge
+    h1 = h1.at[:].set(jnp.arange(K) * -7 - 100)
+    h2 = h2.at[:].set(jnp.arange(K) * -11 - 100)
+    h1 = h1.at[0].set(0)
+    h2 = h2.at[0].set(0)
+    ctp = jnp.full((K,), NEG_INF)
+    times_s = jnp.zeros((K, U), jnp.int32)
+    times_ns = jnp.zeros((K, U), jnp.int32)
+    state = (tokens, lens, h1, h2, pb, pnb, vs, vns, ctp, times_s,
+             times_ns)
+
+    ts = jnp.arange(T)
+    valid = ts < num_t
+    Kp = min(beam_size, V)
+
+    def step(carry, inp):
+        return _prefix_beam_step(carry, inp, beam_size, blank_id, Kp)
+
+    state, _ = jax.lax.scan(step, state, (ctc_prob, ts, valid))
+    (tokens, lens, _, _, pb, pnb, vs, vns, _, times_s, times_ns) = state
+    scores = jnp.logaddexp(pb, pnb)
+    times = jnp.where((vs > vns)[:, None], times_s, times_ns)
+    return tokens, lens, scores, times
+
+
+_prefix_beam_batched = jax.jit(
+    jax.vmap(_prefix_beam_search_single, in_axes=(0, 0, None, None)),
+    static_argnums=(2, 3))
+
+
+def ctc_prefix_beam_search(
+    ctc_probs: jax.Array,
+    ctc_lens: jax.Array,
+    beam_size: int,
+    context_graph=None,
+    blank_id: int = 0,
+) -> List[DecodeResult]:
+    """Batched vectorized prefix beam search. ref: search.py:127-249.
+
+    With a context_graph (Aho-Corasick biasing) the jittable formulation
+    would need the trie transition inside the scan; that path falls back
+    to the sequential host implementation (utils/context_graph.py).
+    """
+    if context_graph is not None:
+        from wenet_tpu.utils.context_graph import (
+            ctc_prefix_beam_search_with_context)
+        return ctc_prefix_beam_search_with_context(
+            np.asarray(ctc_probs), np.asarray(ctc_lens), beam_size,
+            context_graph, blank_id)
+    tokens, lens, scores, times = _prefix_beam_batched(
+        ctc_probs, ctc_lens, beam_size, blank_id)
+    tokens = np.asarray(tokens)
+    lens = np.asarray(lens)
+    scores = np.asarray(scores)
+    times = np.asarray(times)
+    results = []
+    for b in range(tokens.shape[0]):
+        # drop dead-beam filler (score ~ NEG_INF)
+        ks = [k for k in range(beam_size)
+              if scores[b, k] > NEG_INF / 2 or k == 0]
+        nbest = [[int(t) for t in tokens[b, k, :lens[b, k]]] for k in ks]
+        nbest_scores = [float(scores[b, k]) for k in ks]
+        nbest_times = [[int(t) for t in times[b, k, :lens[b, k]]]
+                       for k in ks]
+        results.append(
+            DecodeResult(tokens=nbest[0], score=nbest_scores[0],
+                         times=nbest_times[0], nbest=nbest,
+                         nbest_scores=nbest_scores,
+                         nbest_times=nbest_times))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# attention beam search (scan)
+# ---------------------------------------------------------------------------
+def attention_beam_search(
+    model,
+    variables,
+    encoder_out: jax.Array,
+    encoder_mask: jax.Array,
+    beam_size: int = 10,
+    length_penalty: float = 0.0,
+    infos: Optional[Dict[str, List[str]]] = None,
+) -> List[DecodeResult]:
+    """ref: search.py:252-371, as a single lax.scan over decode steps."""
+    B, maxlen, _ = encoder_out.shape
+    N = beam_size
+    running = B * N
+    sos, eos = model.sos, model.eos
+
+    prefix = _decode_prefix(model, B, N, infos)  # (running, prefix_len)
+    prefix_len = prefix.shape[1]
+    max_steps = maxlen + prefix_len  # decode positions budget
+
+    enc = jnp.repeat(encoder_out, N, axis=0)  # (B*N, T, D)
+    enc_mask = jnp.repeat(encoder_mask, N, axis=0)  # (B*N, 1, T)
+
+    state = model.apply(variables, enc, max_steps + 1,
+                        method=model.decoder_init_state)
+
+    scores = jnp.tile(
+        jnp.asarray([0.0] + [-float('inf')] * (N - 1), jnp.float32),
+        (B,))[:, None]  # (B*N, 1)
+    end_flag = jnp.zeros((running, 1), bool)
+    hyps = jnp.concatenate(
+        [prefix,
+         jnp.full((running, max_steps + 1 - prefix_len), eos,
+                  jnp.int32)], axis=1)
+
+    def apply_step(tokens, step, st):
+        return model.apply(variables, tokens, step, st, enc_mask,
+                           method=model.decoder_forward_step)
+
+    # feed the prefix (teacher forcing); last prefix token's logp starts
+    # the search
+    logp = None
+    for i in range(prefix_len):
+        logp, state = apply_step(prefix[:, i:i + 1], jnp.asarray(i),
+                                 state)
+
+    def step_fn(carry, i):
+        hyps, scores, end_flag, state, logp = carry
+        top_k_logp, top_k_index = jax.lax.top_k(logp, N)  # (B*N, N)
+        top_k_logp = mask_finished_scores(top_k_logp, end_flag)
+        top_k_index = mask_finished_preds(top_k_index, end_flag, eos)
+        s = (scores + top_k_logp).reshape(B, N * N)
+        s, offset_k_index = jax.lax.top_k(s, N)  # (B, N)
+        base = (jnp.arange(B)[:, None] * N).reshape(-1, 1)
+        cache_index = (offset_k_index // N + base).reshape(-1)  # (B*N)
+        # reorder beam-dependent state
+        self_caches, cross_kv = state
+        self_caches = jax.tree_util.tree_map(
+            lambda x: jnp.take(x, cache_index, axis=0), self_caches)
+        state = (self_caches, cross_kv)
+        hyps = jnp.take(hyps, cache_index, axis=0)
+        best_k_pred = jnp.take_along_axis(
+            top_k_index.reshape(B, N * N), offset_k_index,
+            axis=1).reshape(-1)  # (B*N)
+        hyps = hyps.at[:, i].set(best_k_pred.astype(jnp.int32))
+        scores = s.reshape(-1, 1)
+        end_flag = (best_k_pred == eos).reshape(-1, 1)
+        logp, state = apply_step(best_k_pred.reshape(-1, 1), i, state)
+        return (hyps, scores, end_flag, state, logp), None
+
+    carry = (hyps, scores, end_flag, state, logp)
+    for i in range(prefix_len, max_steps):
+        carry, _ = step_fn(carry, jnp.asarray(i))
+        # early stop on host when everything finished
+        if bool(jnp.all(carry[2])):
+            break
+    hyps, scores, end_flag, _, _ = carry
+
+    scores = scores.reshape(B, N)
+    lengths = jnp.sum(hyps != eos, axis=1).reshape(B, N).astype(
+        jnp.float32)
+    scores = scores / (lengths**length_penalty)
+    best_index = jnp.argmax(scores, axis=-1)
+    best_scores = jnp.max(scores, axis=-1)
+    best_rows = best_index + jnp.arange(B) * N
+    best_hyps = np.asarray(jnp.take(hyps, best_rows, axis=0))
+    best_scores = np.asarray(best_scores)
+
+    results = []
+    for b in range(B):
+        hyp = [int(x) for x in best_hyps[b, prefix_len:] if int(x) != eos]
+        results.append(DecodeResult(hyp, score=float(best_scores[b])))
+    return results
+
+
+def _decode_prefix(model, B, N, infos):
+    """sos prefix, or whisper special-token prompt. ref: search.py:267-289."""
+    st = model.special_tokens
+    if st is not None and 'transcribe' in dict(st or {}):
+        from wenet_tpu.utils.common import IGNORE_ID
+        from wenet_tpu.models.whisper.tokens import build_whisper_prefix
+        tasks = (infos or {}).get('tasks', ['transcribe'] * B)
+        langs = (infos or {}).get('langs', ['en'] * B)
+        rows = []
+        for b in range(B):
+            row = build_whisper_prefix(dict(st), tasks[b], langs[b])
+            rows.extend([row] * N)
+        return jnp.asarray(rows, jnp.int32)
+    return jnp.full((B * N, 1), model.sos, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# attention rescoring
+# ---------------------------------------------------------------------------
+def attention_rescoring(
+    model,
+    variables,
+    ctc_prefix_results: List[DecodeResult],
+    encoder_outs: jax.Array,
+    encoder_lens: jax.Array,
+    ctc_weight: float = 0.0,
+    reverse_weight: float = 0.0,
+    infos: Optional[Dict[str, List[str]]] = None,
+) -> List[DecodeResult]:
+    """ref: search.py:374-458 (batched decoder scoring + fusion)."""
+    sos, eos = model.sos, model.eos
+    B = encoder_outs.shape[0]
+    results = []
+    for b in range(B):
+        encoder_out = encoder_outs[b:b + 1, :int(encoder_lens[b]), :]
+        hyps = ctc_prefix_results[b].nbest
+        ctc_scores = ctc_prefix_results[b].nbest_scores
+        max_len = max(len(h) for h in hyps) if hyps else 0
+        n = len(hyps)
+        hyps_pad = np.full((n, max_len + 1), eos, np.int32)
+        hyps_pad[:, 0] = sos
+        for i, h in enumerate(hyps):
+            hyps_pad[i, 1:1 + len(h)] = h
+        hyps_lens = np.asarray([len(h) + 1 for h in hyps], np.int32)
+        prefix_len = 1
+        decoder_out, r_decoder_out = model.apply(
+            variables, jnp.asarray(hyps_pad), jnp.asarray(hyps_lens),
+            encoder_out, reverse_weight,
+            method=model.forward_attention_decoder)
+        decoder_out = np.asarray(decoder_out)
+        if reverse_weight > 0:
+            r_decoder_out = np.asarray(r_decoder_out)
+        best_score, best_index = -float('inf'), 0
+        confidences, tokens_confidences = [], []
+        for i, hyp in enumerate(hyps):
+            score = 0.0
+            tc = []
+            for j, w in enumerate(hyp):
+                s = decoder_out[i][j + prefix_len - 1][w]
+                score += s
+                tc.append(math.exp(float(s)))
+            score += decoder_out[i][len(hyp) + prefix_len - 1][eos]
+            if reverse_weight > 0 and getattr(r_decoder_out, 'ndim',
+                                              0) > 0:
+                r_score = 0.0
+                for j, w in enumerate(hyp):
+                    s = r_decoder_out[i][len(hyp) - j - 1 +
+                                         prefix_len - 1][w]
+                    r_score += s
+                    tc[j] = (tc[j] + math.exp(float(s))) / 2
+                r_score += r_decoder_out[i][len(hyp) + prefix_len - 1][eos]
+                score = (score * (1 - reverse_weight) +
+                         r_score * reverse_weight)
+            confidences.append(math.exp(float(score) / (len(hyp) + 1)))
+            score = float(score) + ctc_scores[i] * ctc_weight
+            if score > best_score:
+                best_score = score
+                best_index = i
+            tokens_confidences.append(tc)
+        results.append(
+            DecodeResult(
+                hyps[best_index], best_score,
+                confidence=confidences[best_index],
+                times=(ctc_prefix_results[b].nbest_times[best_index]
+                       if ctc_prefix_results[b].nbest_times else None),
+                tokens_confidence=tokens_confidences[best_index]))
+    return results
