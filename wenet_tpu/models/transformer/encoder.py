@@ -96,6 +96,21 @@ class BaseEncoder(nn.Module):
     def make_layers(self):
         raise NotImplementedError
 
+    # static streaming geometry, usable without binding the module
+    _SUBSAMPLE_PROPS = {
+        'linear': (1, 0), 'embed': (1, 0), 'conv1d2': (2, 4),
+        'conv2d': (4, 6), 'conv2d6': (6, 10), 'conv2d8': (8, 14),
+        'stack_n_frames': (2, 0),
+    }
+
+    @property
+    def subsampling_rate(self) -> int:
+        return self._SUBSAMPLE_PROPS[self.input_layer][0]
+
+    @property
+    def right_context(self) -> int:
+        return self._SUBSAMPLE_PROPS[self.input_layer][1]
+
     def setup(self):
         if self.use_cmvn:
             self.global_cmvn = GlobalCMVN(self.input_size,
