@@ -1,0 +1,154 @@
+"""Config-driven model construction registry.
+
+ref: wenet/utils/init_model.py:52-217.  Consumes the same train.yaml
+schema as the reference (encoder/decoder/ctc/model + *_conf sections) so
+existing configs and exported model dirs work unchanged.
+
+Because linen modules are pure config containers, `init_model` returns
+the module; `init_variables` materializes the param pytree (optionally
+loading a PyTorch reference checkpoint or an orbax checkpoint).
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wenet_tpu.models.transformer.asr_model import ASRModel
+from wenet_tpu.models.transformer.ctc import CTC
+from wenet_tpu.models.transformer.decoder import (BiTransformerDecoder,
+                                                  TransformerDecoder)
+from wenet_tpu.models.transformer.encoder import (ConformerEncoder,
+                                                  TransformerEncoder)
+
+ENCODER_CLASSES = {
+    'transformer': TransformerEncoder,
+    'conformer': ConformerEncoder,
+}
+
+DECODER_CLASSES = {
+    'transformer': TransformerDecoder,
+    'bitransformer': BiTransformerDecoder,
+}
+
+CTC_CLASSES = {
+    'ctc': CTC,
+}
+
+MODEL_CLASSES = {
+    'asr_model': ASRModel,
+}
+
+PREDICTOR_CLASSES: Dict[str, Any] = {}
+JOINT_CLASSES: Dict[str, Any] = {}
+
+
+def register_model(name, cls):
+    MODEL_CLASSES[name] = cls
+
+
+def register_encoder(name, cls):
+    ENCODER_CLASSES[name] = cls
+
+
+def register_decoder(name, cls):
+    DECODER_CLASSES[name] = cls
+
+
+# config keys the torch reference accepts but that are implicit or
+# renamed here
+_ENCODER_DROP_KEYS = {'use_sdpa', 'selfattention_layer_type_checked'}
+_DECODER_DROP_KEYS = {'use_sdpa'}
+
+
+def _filter_conf(conf: dict, cls, drop) -> dict:
+    fields = {f.name for f in cls.__dataclass_fields__.values()}
+    out = {}
+    for k, v in conf.items():
+        if k in drop:
+            continue
+        if k in fields:
+            out[k] = v
+    return out
+
+
+def init_model(args, configs) -> Tuple[Any, dict]:
+    """Build the (unbound) model module from a wenet-style config.
+
+    ref: init_model.py:100-217."""
+    input_dim = configs['input_dim']
+    vocab_size = configs['output_dim']
+
+    encoder_type = configs.get('encoder', 'conformer')
+    decoder_type = configs.get('decoder', 'bitransformer')
+    ctc_type = configs.get('ctc', 'ctc')
+    model_type = configs.get('model', 'asr_model')
+    configs['model'] = model_type
+
+    use_cmvn = configs.get('cmvn', None) == 'global_cmvn'
+
+    enc_cls = ENCODER_CLASSES[encoder_type]
+    enc_conf = _filter_conf(configs['encoder_conf'], enc_cls,
+                            _ENCODER_DROP_KEYS)
+    encoder = enc_cls(input_size=input_dim, use_cmvn=use_cmvn,
+                      name='encoder', **enc_conf)
+
+    decoder = None
+    if decoder_type is not None:
+        dec_cls = DECODER_CLASSES[decoder_type]
+        dec_conf = _filter_conf(configs.get('decoder_conf', {}), dec_cls,
+                                _DECODER_DROP_KEYS)
+        decoder = dec_cls(vocab_size=vocab_size,
+                          encoder_output_size=encoder.output_size,
+                          name='decoder', **dec_conf)
+
+    blank_id = configs.get('ctc_conf', {}).get('ctc_blank_id', 0)
+    ctc = CTC_CLASSES[ctc_type](odim=vocab_size,
+                                encoder_output_size=encoder.output_size,
+                                blank_id=blank_id, name='ctc')
+
+    special_tokens = configs.get('tokenizer_conf',
+                                 {}).get('special_tokens', None)
+    model_conf = dict(configs.get('model_conf', {}))
+    model_cls = MODEL_CLASSES[model_type]
+    model_conf = _filter_conf(model_conf, model_cls, set())
+    model = model_cls(vocab_size=vocab_size, encoder=encoder,
+                      decoder=decoder, ctc=ctc,
+                      special_tokens=special_tokens, **model_conf)
+    return model, configs
+
+
+def init_variables(model, configs, rng: Optional[jax.Array] = None,
+                   checkpoint: Optional[str] = None,
+                   dtype=jnp.float32):
+    """Materialize variables; optionally load cmvn stats + checkpoint.
+
+    `checkpoint` may be a torch .pt state dict (reference format) or an
+    orbax checkpoint directory."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    input_dim = configs['input_dim']
+    feats = jnp.zeros((1, 16, input_dim), dtype)
+    feats_lengths = jnp.asarray([16])
+    target = jnp.zeros((1, 4), jnp.int32)
+    target_lengths = jnp.asarray([4])
+    variables = model.init(rng, feats, feats_lengths, target,
+                           target_lengths)
+    variables = jax.device_get(variables)
+
+    if configs.get('cmvn', None) == 'global_cmvn' and \
+            configs.get('cmvn_conf', {}).get('cmvn_file'):
+        from wenet_tpu.utils.cmvn import load_cmvn
+        mean, istd = load_cmvn(configs['cmvn_conf']['cmvn_file'],
+                               configs['cmvn_conf'].get(
+                                   'is_json_cmvn', True))
+        cmvn = variables.get('cmvn', {})
+        if 'encoder' in cmvn and 'global_cmvn' in cmvn['encoder']:
+            cmvn['encoder']['global_cmvn']['mean'] = jnp.asarray(mean)
+            cmvn['encoder']['global_cmvn']['istd'] = jnp.asarray(istd)
+
+    infos = {}
+    if checkpoint is not None:
+        from wenet_tpu.utils.checkpoint import load_checkpoint
+        variables, infos = load_checkpoint(model, variables, checkpoint)
+    configs['init_infos'] = infos
+    return variables, configs
