@@ -1,0 +1,76 @@
+"""Offline decode throughput benchmark (driver entry).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures audio-seconds processed per wall-second per chip for the
+flagship U2++ conformer (AIShell-1 shape): encoder full forward + CTC
+log-softmax + greedy argmax, bf16 activations.  Baseline target:
+2000 audio-sec/sec/chip (BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from __graft_entry__ import _flagship_config
+    from wenet_tpu.utils.init_model import init_model
+
+    configs = _flagship_config()
+    model, configs = init_model(None, configs)
+
+    B = 16
+    SECONDS = 15.0
+    T = int(SECONDS * 100)  # 10ms frames
+    input_dim = configs['input_dim']
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, input_dim), jnp.bfloat16)
+    feats_lengths = jnp.full((B,), T, jnp.int32)
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, input_dim)),
+                           jnp.asarray([16]),
+                           jnp.zeros((1, 4), jnp.int32),
+                           jnp.asarray([4]))
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x,
+        variables)
+
+    @jax.jit
+    def decode_fwd(variables, feats, feats_lengths):
+        enc, mask = model.apply(variables, feats, feats_lengths,
+                                method=model.forward_encoder)
+        logp = model.apply(variables, enc, method=model.ctc_logprobs)
+        hyps = jnp.argmax(logp, axis=-1)
+        return hyps, jnp.sum(mask[:, 0], -1)
+
+    # warmup / compile
+    out = decode_fwd(variables, feats, feats_lengths)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = decode_fwd(variables, feats, feats_lengths)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    audio_sec = B * SECONDS * iters
+    throughput = audio_sec / dt
+    print(json.dumps({
+        'metric': 'offline_decode_throughput',
+        'value': round(throughput, 1),
+        'unit': 'audio_sec/sec/chip',
+        'vs_baseline': round(throughput / 2000.0, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,57 @@
+"""Train step + virtual multi-chip mesh tests (8 CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_train_step_reduces_loss():
+    from tests.test_smoke_core import batch, tiny_model
+    from wenet_tpu.utils.train_utils import (create_train_state,
+                                             init_optimizer_and_scheduler,
+                                             make_train_step)
+    model = tiny_model()
+    feats, fl, tgt, tl = batch()
+    variables = model.init(jax.random.PRNGKey(0), feats, fl, tgt, tl)
+    configs = {'optim': 'adam', 'optim_conf': {'lr': 1e-3},
+               'scheduler': 'warmuplr',
+               'scheduler_conf': {'warmup_steps': 5}, 'grad_clip': 5.0}
+    tx, schedule = init_optimizer_and_scheduler(configs)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, tx, schedule))
+    b = {'feats': feats, 'feats_lengths': fl, 'target': tgt,
+         'target_lengths': tl}
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, b, rng)
+        losses.append(float(m['loss']))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    assert 'lr' in m and m['lr'] > 0
+
+
+def test_dryrun_multichip_8dev():
+    import __graft_entry__ as g
+    assert len(jax.devices()) == 8
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles_small():
+    # entry() builds the full flagship; too slow for CPU CI — check the
+    # same path with the small config instead.
+    import __graft_entry__ as g
+    from wenet_tpu.utils.init_model import init_model
+    configs = g._flagship_config(small=True)
+    model, configs = init_model(None, configs)
+    b = g._batch(2, 64, 8, configs['input_dim'], configs['output_dim'])
+    variables = model.init(jax.random.PRNGKey(0), b['feats'],
+                           b['feats_lengths'], b['target'],
+                           b['target_lengths'])
+
+    def fn(variables, feats, fl, tgt, tl):
+        return model.apply(variables, feats, fl, tgt, tl)['loss']
+
+    loss = jax.jit(fn)(variables, b['feats'], b['feats_lengths'],
+                       b['target'], b['target_lengths'])
+    assert np.isfinite(float(loss))

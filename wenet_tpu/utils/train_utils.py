@@ -1,0 +1,162 @@
+"""Training layer: optimizer, train/cv steps, mesh placement.
+
+TPU-native rebuild of ref wenet/utils/train_utils.py:410-931.  The
+DDP/FSDP/DeepSpeed engine selection collapses into one pjit-compiled
+train step over a Mesh: batch sharded on 'data', params replicated (or
+GSPMD-sharded), gradient all-reduce inserted by XLA.  Gradient
+accumulation is optax.MultiSteps (replaces no_sync bookkeeping,
+ref executor.py:71-81); AMP scalers disappear (bf16 needs none).
+"""
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from wenet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                     replicated, shard_batch)
+from wenet_tpu.utils.scheduler import build_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    extra_vars: Dict[str, Any]  # cmvn etc. (frozen)
+
+    def variables(self):
+        v = {'params': self.params, **self.extra_vars}
+        if self.batch_stats is not None:
+            v['batch_stats'] = self.batch_stats
+        return v
+
+
+def init_optimizer_and_scheduler(configs
+                                 ) -> Tuple[optax.GradientTransformation,
+                                            Callable]:
+    """From train.yaml optim/optim_conf/scheduler/scheduler_conf.
+
+    ref: train_utils.py:491-565."""
+    optim_conf = dict(configs.get('optim_conf', {'lr': 0.001}))
+    lr = optim_conf.get('lr', 0.001)
+    schedule = build_schedule(configs.get('scheduler', 'warmuplr'),
+                              configs.get('scheduler_conf', {}), lr)
+    optim = configs.get('optim', 'adam')
+    wd = optim_conf.get('weight_decay', 0.0)
+    betas = optim_conf.get('betas', (0.9, 0.999))
+    eps = optim_conf.get('eps', 1e-8)
+    if optim == 'adam':
+        tx = optax.chain(
+            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.scale_by_learning_rate(schedule),
+        )
+    elif optim == 'adamw':
+        tx = optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                         weight_decay=wd)
+    elif optim == 'sgd':
+        tx = optax.sgd(schedule, momentum=optim_conf.get('momentum', 0.9))
+    else:
+        raise ValueError(f'unknown optim: {optim}')
+    clip = configs.get('grad_clip', 0.0)
+    if clip and clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    accum = configs.get('accum_grad', 1)
+    if accum and accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx, schedule
+
+
+def create_train_state(variables, tx) -> TrainState:
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', None)
+    extra = {k: v for k, v in variables.items()
+             if k not in ('params', 'batch_stats')}
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), batch_stats=batch_stats,
+                      extra_vars=extra)
+
+
+def make_train_step(model, tx, schedule=None):
+    """Build the pure train step: (state, batch, rng) -> (state, metrics).
+
+    batch: dict(feats, feats_lengths, target, target_lengths).
+    ref: train_utils.py:669-794 (batch_forward/backward/update)."""
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        dropout_rng, chunk_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            variables = {'params': params, **state.extra_vars}
+            mutable = []
+            if state.batch_stats is not None:
+                variables['batch_stats'] = state.batch_stats
+                mutable = ['batch_stats']
+            if mutable:
+                out, new_vars = model.apply(
+                    variables, batch['feats'], batch['feats_lengths'],
+                    batch['target'], batch['target_lengths'], train=True,
+                    chunk_rng=chunk_rng, rngs={'dropout': dropout_rng},
+                    mutable=mutable)
+                new_bs = new_vars.get('batch_stats', state.batch_stats)
+            else:
+                out = model.apply(
+                    variables, batch['feats'], batch['feats_lengths'],
+                    batch['target'], batch['target_lengths'], train=True,
+                    chunk_rng=chunk_rng, rngs={'dropout': dropout_rng})
+                new_bs = state.batch_stats
+            return out['loss'], (out, new_bs)
+
+        grads, (out, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            'loss': out['loss'],
+            'loss_att': out.get('loss_att'),
+            'loss_ctc': out.get('loss_ctc'),
+            'th_accuracy': out.get('th_accuracy'),
+            'grad_norm': optax.global_norm(grads),
+        }
+        if schedule is not None:
+            metrics['lr'] = schedule(state.step)
+        metrics = {k: v for k, v in metrics.items() if v is not None}
+        new_state = state.replace(step=state.step + 1,
+                                  params=new_params,
+                                  opt_state=new_opt_state,
+                                  batch_stats=new_bs)
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_cv_step(model):
+    """ref: executor.py:120-161."""
+
+    def step_fn(state: TrainState, batch):
+        out = model.apply(state.variables(), batch['feats'],
+                          batch['feats_lengths'], batch['target'],
+                          batch['target_lengths'], train=False)
+        num_utts = batch['target_lengths'].shape[0]
+        return {k: v for k, v in out.items() if v is not None}, num_utts
+
+    return step_fn
+
+
+def compile_train_step(model, tx, mesh, schedule=None,
+                       donate: bool = True):
+    """jit the train step with data-sharded batch + replicated state."""
+    step_fn = make_train_step(model, tx, schedule)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )
