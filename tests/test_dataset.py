@@ -1,0 +1,123 @@
+"""Data pipeline tests: raw == shard features, batching, processors."""
+
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from wenet_tpu.dataset.audio import read_wav, write_wav
+from wenet_tpu.dataset.dataset import Dataset
+from wenet_tpu.text.char_tokenizer import CharTokenizer
+
+SYMS = {'<blank>': 0, '<unk>': 1, '你': 2, '好': 3, 'a': 4, 'b': 5,
+        '<sos/eos>': 6}
+
+
+@pytest.fixture(scope='module')
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('data')
+    rng = np.random.RandomState(0)
+    entries = []
+    for i in range(6):
+        sr = 16000
+        wav = (0.2 * rng.randn(sr + i * 1600)).astype(np.float32)
+        path = d / f'utt{i}.wav'
+        write_wav(str(path), wav, sr)
+        entries.append({'key': f'utt{i}', 'wav': str(path),
+                        'txt': '你好' if i % 2 else 'ab'})
+    with open(d / 'data.list', 'w') as f:
+        for e in entries:
+            f.write(json.dumps(e, ensure_ascii=False) + '\n')
+    # tar shard with same content
+    tar_path = d / 'shard0.tar'
+    with tarfile.open(tar_path, 'w') as tar:
+        for e in entries:
+            tar.add(e['wav'], arcname=e['key'] + '.wav')
+            txt = (d / 'tmp.txt')
+            txt.write_text(e['txt'])
+            tar.add(str(txt), arcname=e['key'] + '.txt')
+    with open(d / 'shard.list', 'w') as f:
+        f.write(str(tar_path) + '\n')
+    return d
+
+
+CONF = {
+    'list_shuffle': False,
+    'shuffle': False,
+    'sort': False,
+    'spec_aug': False,
+    'filter_conf': {'max_length': 2000, 'min_length': 10},
+    'fbank_conf': {'num_mel_bins': 40, 'dither': 0.0},
+    'batch_conf': {'batch_type': 'static', 'batch_size': 3},
+}
+
+
+def _tok():
+    return CharTokenizer(SYMS)
+
+
+def test_wav_roundtrip(data_dir):
+    wav, sr = read_wav(str(data_dir / 'utt0.wav'))
+    assert sr == 16000 and wav.shape[0] == 1
+    assert np.abs(wav).max() <= 1.0
+
+
+def test_raw_equals_shard_features(data_dir):
+    raw = Dataset('raw', str(data_dir / 'data.list'), _tok(), CONF)
+    shard = Dataset('shard', str(data_dir / 'shard.list'), _tok(), CONF)
+    raw_batches = list(raw)
+    shard_batches = list(shard)
+    assert len(raw_batches) == len(shard_batches) == 2
+    for rb, sb in zip(raw_batches, shard_batches):
+        assert rb['keys'] == sb['keys']
+        np.testing.assert_allclose(rb['feats'], sb['feats'], atol=1e-5)
+        np.testing.assert_array_equal(rb['target'], sb['target'])
+
+
+def test_batch_contents(data_dir):
+    ds = Dataset('raw', str(data_dir / 'data.list'), _tok(), CONF)
+    batch = next(iter(ds))
+    B, T, D = batch['feats'].shape
+    assert B == 3 and D == 40
+    assert batch['feats_lengths'].max() <= T
+    assert (batch['target'] >= -1).all()
+    # sorted desc by length within batch
+    fl = batch['feats_lengths']
+    assert all(fl[i] >= fl[i + 1] for i in range(len(fl) - 1))
+
+
+def test_dynamic_batch_and_pad_multiple(data_dir):
+    conf = dict(CONF)
+    conf['batch_conf'] = {'batch_type': 'dynamic',
+                          'max_frames_in_batch': 500}
+    conf['pad_conf'] = {'pad_to_multiple': 64}
+    ds = Dataset('raw', str(data_dir / 'data.list'), _tok(), conf)
+    for batch in ds:
+        assert batch['feats'].shape[1] % 64 == 0
+        frames = batch['feats'].shape[0] * batch['feats'].shape[1]
+
+
+def test_speed_perturb_and_specaug(data_dir):
+    conf = dict(CONF)
+    conf['speed_perturb'] = True
+    conf['spec_aug'] = True
+    conf['spec_sub'] = True
+    conf['spec_aug_conf'] = {'num_t_mask': 2, 'num_f_mask': 2,
+                             'max_t': 10, 'max_f': 5}
+    ds = Dataset('raw', str(data_dir / 'data.list'), _tok(), conf)
+    batches = list(ds)
+    assert len(batches) >= 1
+
+
+def test_shard_partition(data_dir):
+    conf = dict(CONF)
+    ds0 = Dataset('raw', str(data_dir / 'data.list'), _tok(), conf,
+                  num_shards=2, shard_id=0)
+    ds1 = Dataset('raw', str(data_dir / 'data.list'), _tok(), conf,
+                  num_shards=2, shard_id=1)
+    k0 = [k for b in ds0 for k in b['keys']]
+    k1 = [k for b in ds1 for k in b['keys']]
+    assert set(k0).isdisjoint(k1)
+    assert len(k0) + len(k1) == 6

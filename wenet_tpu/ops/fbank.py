@@ -244,3 +244,87 @@ def compute_log_mel_spectrogram(waveform: jax.Array,
                            jnp.max(log_spec, axis=(-2, -1),
                                    keepdims=True) - 8.0)
     return (log_spec + 4.0) / 4.0
+
+
+# ---------------------------------------------------------------------------
+# numpy mirrors for the host-side data pipeline (identical math; the
+# device path above is for on-TPU fused featurization)
+# ---------------------------------------------------------------------------
+def compute_fbank_np(waveform: np.ndarray,
+                     num_mel_bins: int = 80,
+                     frame_length_ms: float = 25.0,
+                     frame_shift_ms: float = 10.0,
+                     sample_rate: int = 16000,
+                     dither: float = 0.0,
+                     preemphasis: float = 0.97,
+                     remove_dc_offset: bool = True,
+                     rng: Optional[np.random.RandomState] = None,
+                     log_floor: float = 1.1920928955078125e-07
+                     ) -> np.ndarray:
+    """numpy kaldi fbank; same pipeline as compute_fbank."""
+    waveform = np.asarray(waveform, np.float32)
+    frame_length = int(sample_rate * frame_length_ms / 1000)
+    frame_shift = int(sample_rate * frame_shift_ms / 1000)
+    padded = _next_pow2(frame_length)
+    S = waveform.shape[-1]
+    T = 1 + (S - frame_length) // frame_shift if S >= frame_length else 0
+    if T <= 0:
+        return np.zeros(waveform.shape[:-1] + (0, num_mel_bins),
+                        np.float32)
+    idx = (np.arange(T)[:, None] * frame_shift +
+           np.arange(frame_length)[None, :])
+    frames = waveform[..., idx]
+    if dither != 0.0:
+        rng = rng or np.random
+        frames = frames + dither * rng.randn(*frames.shape).astype(
+            np.float32)
+    if remove_dc_offset:
+        frames = frames - frames.mean(-1, keepdims=True)
+    if preemphasis != 0.0:
+        prev = np.concatenate([frames[..., :1], frames[..., :-1]], -1)
+        frames = frames - preemphasis * prev
+    frames = frames * povey_window(frame_length)
+    spec = np.fft.rfft(frames, n=padded, axis=-1)
+    power = (spec.real**2 + spec.imag**2)[..., :padded // 2]
+    mel = kaldi_mel_banks(num_mel_bins, padded, sample_rate)
+    energies = power.astype(np.float32) @ mel
+    return np.log(np.maximum(energies, log_floor)).astype(np.float32)
+
+
+def compute_mfcc_np(waveform: np.ndarray, num_mel_bins: int = 23,
+                    num_ceps: int = 13, cepstral_lifter: float = 22.0,
+                    **kwargs) -> np.ndarray:
+    logmel = compute_fbank_np(waveform, num_mel_bins=num_mel_bins,
+                              **kwargs)
+    feats = logmel @ dct_matrix(num_ceps, num_mel_bins)
+    if cepstral_lifter > 0:
+        feats = feats * lifter_coeffs(num_ceps, cepstral_lifter)
+    return feats.astype(np.float32)
+
+
+def compute_log_mel_spectrogram_np(waveform: np.ndarray,
+                                   n_fft: int = 400,
+                                   hop_length: int = 160,
+                                   num_mel_bins: int = 80,
+                                   sample_rate: int = 16000,
+                                   padding: int = 0) -> np.ndarray:
+    waveform = np.asarray(waveform, np.float32)
+    if padding > 0:
+        waveform = np.pad(waveform, [(0, 0)] * (waveform.ndim - 1) +
+                          [(0, padding)])
+    half = n_fft // 2
+    wav = np.pad(waveform, [(0, 0)] * (waveform.ndim - 1) +
+                 [(half, half)], mode='reflect')
+    S = wav.shape[-1]
+    T = 1 + (S - n_fft) // hop_length
+    idx = (np.arange(T)[:, None] * hop_length +
+           np.arange(n_fft)[None, :])
+    frames = wav[..., idx] * hann_window(n_fft)
+    spec = np.fft.rfft(frames, axis=-1)
+    power = (spec.real**2 + spec.imag**2)[..., :-1, :]
+    mel = slaney_mel_banks(num_mel_bins, n_fft, sample_rate)
+    melspec = power.astype(np.float32) @ mel
+    log_spec = np.log10(np.maximum(melspec, 1e-10))
+    log_spec = np.maximum(
+        log_spec, log_spec.max(axis=(-2, -1), keepdims=True) - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)
