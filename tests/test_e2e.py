@@ -1,0 +1,113 @@
+"""End-to-end slice: train a tiny model on synthetic data via
+bin/train.py, then decode with bin/recognize.py (in-process)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from wenet_tpu.dataset.audio import write_wav
+
+SYMS = ['<blank>', '<unk>', '你', '好', '世', '界', '<sos/eos>']
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('e2e')
+    rng = np.random.RandomState(0)
+    entries = []
+    for i in range(8):
+        sr = 16000
+        wav = (0.2 * rng.randn(sr // 2)).astype(np.float32)
+        path = d / f'utt{i}.wav'
+        write_wav(str(path), wav, sr)
+        entries.append({'key': f'utt{i}', 'wav': str(path),
+                        'txt': '你好世界'[:(i % 3) + 2]})
+    with open(d / 'data.list', 'w') as f:
+        for e in entries:
+            f.write(json.dumps(e, ensure_ascii=False) + '\n')
+    with open(d / 'units.txt', 'w') as f:
+        for i, s in enumerate(SYMS):
+            f.write(f'{s} {i}\n')
+    config = {
+        'encoder': 'conformer',
+        'encoder_conf': {
+            'output_size': 32, 'attention_heads': 2, 'linear_units': 64,
+            'num_blocks': 2, 'cnn_module_kernel': 7,
+            'use_dynamic_chunk': True, 'causal': True,
+            'cnn_module_norm': 'layer_norm',
+        },
+        'decoder': 'bitransformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 64,
+                         'num_blocks': 1, 'r_num_blocks': 1},
+        'model_conf': {'ctc_weight': 0.3, 'lsm_weight': 0.1,
+                       'reverse_weight': 0.3},
+        'tokenizer': 'char',
+        'tokenizer_conf': {'symbol_table_path': str(d / 'units.txt'),
+                           'non_lang_syms_path': None},
+        'dataset_conf': {
+            'filter_conf': {'max_length': 2000, 'min_length': 0,
+                            'token_min_length': 1},
+            'fbank_conf': {'num_mel_bins': 40, 'dither': 0.0},
+            'batch_conf': {'batch_type': 'static', 'batch_size': 4},
+            'shuffle': False, 'list_shuffle': False, 'sort': False,
+            'spec_aug': False,
+        },
+        'grad_clip': 5.0,
+        'accum_grad': 1,
+        'max_epoch': 1,
+        'log_interval': 1,
+        'optim': 'adam',
+        'optim_conf': {'lr': 0.002},
+        'scheduler': 'warmuplr',
+        'scheduler_conf': {'warmup_steps': 4},
+    }
+    with open(d / 'train.yaml', 'w') as f:
+        yaml.dump(config, f)
+    return d
+
+
+def _run_main(module_main, argv):
+    old = sys.argv
+    sys.argv = argv
+    try:
+        module_main()
+    finally:
+        sys.argv = old
+
+
+def test_train_then_recognize(workdir):
+    from wenet_tpu.bin.train import main as train_main
+    from wenet_tpu.bin.recognize import main as recognize_main
+    model_dir = str(workdir / 'exp')
+    _run_main(train_main, [
+        'train.py', '--config', str(workdir / 'train.yaml'),
+        '--train_data', str(workdir / 'data.list'),
+        '--cv_data', str(workdir / 'data.list'),
+        '--model_dir', model_dir,
+        '--tensorboard_dir', str(workdir / 'tb'),
+    ])
+    assert os.path.exists(os.path.join(model_dir, 'train.yaml'))
+    assert os.path.exists(os.path.join(model_dir, 'final'))
+
+    result_dir = str(workdir / 'results')
+    _run_main(recognize_main, [
+        'recognize.py', '--config',
+        os.path.join(model_dir, 'train.yaml'),
+        '--test_data', str(workdir / 'data.list'),
+        '--checkpoint', os.path.join(model_dir, 'final'),
+        '--result_dir', result_dir,
+        '--batch_size', '4', '--beam_size', '3',
+        '--modes', 'ctc_greedy_search', 'ctc_prefix_beam_search',
+        'attention', 'attention_rescoring',
+    ])
+    for mode in ('ctc_greedy_search', 'ctc_prefix_beam_search',
+                 'attention', 'attention_rescoring'):
+        path = os.path.join(result_dir, mode, 'text')
+        assert os.path.exists(path)
+        lines = open(path, encoding='utf8').read().strip().split('\n')
+        assert len(lines) == 8
+        assert all(line.split()[0].startswith('utt') for line in lines)

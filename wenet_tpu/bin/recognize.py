@@ -1,0 +1,127 @@
+"""Batch offline decoding. ref: wenet/bin/recognize.py:41-311."""
+
+import argparse
+import logging
+import os
+
+import jax
+
+from wenet_tpu.dataset.dataset import Dataset
+from wenet_tpu.models.runner import AsrRunner
+from wenet_tpu.utils.config import load_config
+from wenet_tpu.utils.ctc_utils import get_blank_id
+from wenet_tpu.utils.init_model import init_model, init_variables
+from wenet_tpu.utils.init_tokenizer import init_tokenizer
+
+
+def get_args():
+    parser = argparse.ArgumentParser(description='recognize with model')
+    parser.add_argument('--config', required=True)
+    parser.add_argument('--test_data', required=True)
+    parser.add_argument('--data_type', default='raw',
+                        choices=['raw', 'shard'])
+    parser.add_argument('--checkpoint', required=True)
+    parser.add_argument('--beam_size', type=int, default=10)
+    parser.add_argument('--length_penalty', type=float, default=0.0)
+    parser.add_argument('--blank_penalty', type=float, default=0.0)
+    parser.add_argument('--result_dir', required=True)
+    parser.add_argument('--batch_size', type=int, default=16)
+    parser.add_argument('--modes', dest='modes', nargs='+',
+                        default=['attention_rescoring'],
+                        help='decoding modes')
+    parser.add_argument('--ctc_weight', type=float, default=0.0)
+    parser.add_argument('--reverse_weight', type=float, default=0.0)
+    parser.add_argument('--decoding_chunk_size', type=int, default=-1)
+    parser.add_argument('--num_decoding_left_chunks', type=int,
+                        default=-1)
+    parser.add_argument('--simulate_streaming', action='store_true')
+    parser.add_argument('--override_config', action='append', default=[])
+    parser.add_argument('--context_list_path', default=None)
+    parser.add_argument('--context_graph_score', type=float, default=6.0)
+    return parser.parse_args()
+
+
+def main():
+    args = get_args()
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(levelname)s %(message)s')
+    configs = load_config(args.config, args.override_config)
+
+    # test-mode dataset surgery (ref recognize.py:209-230)
+    test_conf = dict(configs['dataset_conf'])
+    test_conf['filter_conf'] = {
+        'max_length': 102400, 'min_length': 0,
+        'token_max_length': 102400, 'token_min_length': 0,
+        'max_output_input_ratio': 102400,
+        'min_output_input_ratio': 0,
+    }
+    test_conf['speed_perturb'] = False
+    test_conf['spec_aug'] = False
+    test_conf['spec_sub'] = False
+    test_conf['spec_trim'] = False
+    test_conf['shuffle'] = False
+    test_conf['list_shuffle'] = False
+    test_conf['sort'] = False
+    test_conf['cycle'] = 1
+    if 'fbank_conf' in test_conf:
+        test_conf['fbank_conf']['dither'] = 0.0
+    test_conf['batch_conf'] = {'batch_type': 'static',
+                               'batch_size': args.batch_size}
+
+    tokenizer = init_tokenizer(configs)
+    configs['input_dim'] = test_conf.get(
+        'fbank_conf', test_conf.get('mfcc_conf', test_conf.get(
+            'log_mel_spectrogram_conf', {}))).get('num_mel_bins', 80)
+    configs['output_dim'] = tokenizer.vocab_size()
+    configs, blank_id = get_blank_id(configs, tokenizer.symbol_table)
+
+    test_dataset = Dataset(args.data_type, args.test_data, tokenizer,
+                           test_conf, partition=False)
+
+    model, configs = init_model(args, configs)
+    variables, configs = init_variables(model, configs,
+                                        checkpoint=args.checkpoint)
+    runner = AsrRunner(model, variables)
+
+    context_graph = None
+    if args.context_list_path:
+        from wenet_tpu.utils.context_graph import ContextGraph
+        context_graph = ContextGraph(args.context_list_path,
+                                     tokenizer.symbol_table,
+                                     context_score=args.
+                                     context_graph_score)
+
+    files = {}
+    for mode in args.modes:
+        d = os.path.join(args.result_dir, mode)
+        os.makedirs(d, exist_ok=True)
+        files[mode] = open(os.path.join(d, 'text'), 'w',
+                           encoding='utf8')
+
+    for batch_idx, batch in enumerate(test_dataset):
+        keys = batch['keys']
+        results = runner.decode(
+            args.modes, batch['feats'], batch['feats_lengths'],
+            beam_size=args.beam_size,
+            decoding_chunk_size=args.decoding_chunk_size,
+            num_decoding_left_chunks=args.num_decoding_left_chunks,
+            ctc_weight=args.ctc_weight,
+            simulate_streaming=args.simulate_streaming,
+            reverse_weight=args.reverse_weight,
+            context_graph=context_graph, blank_id=blank_id,
+            blank_penalty=args.blank_penalty,
+            length_penalty=args.length_penalty,
+            infos={'tasks': batch['tasks'], 'langs': batch['langs']})
+        for mode, hyps in results.items():
+            for i, key in enumerate(keys):
+                tokens = [int(t) for t in hyps[i].tokens]
+                line = '{} {}'.format(
+                    key, tokenizer.detokenize(tokens)[0])
+                logging.info('%s %s', mode, line)
+                files[mode].write(line + '\n')
+    for f in files.values():
+        f.close()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,153 @@
+"""Training entry. ref: wenet/bin/train.py:42-190.
+
+Same CLI surface (config / data lists / model_dir / checkpoint /
+override_config); engine flags (deepspeed/fsdp) are replaced by mesh
+options (--mesh data=8,model=1)."""
+
+import argparse
+import datetime
+import logging
+import os
+
+import jax
+import yaml
+
+from wenet_tpu.dataset.dataset import Dataset
+from wenet_tpu.parallel.mesh import make_mesh, replicated
+from wenet_tpu.utils.checkpoint import save_checkpoint
+from wenet_tpu.utils.config import load_config, save_config
+from wenet_tpu.utils.executor import Executor
+from wenet_tpu.utils.init_model import init_model, init_variables
+from wenet_tpu.utils.init_tokenizer import init_tokenizer
+from wenet_tpu.utils.train_utils import (compile_train_step,
+                                         create_train_state,
+                                         init_optimizer_and_scheduler,
+                                         make_cv_step)
+
+
+def get_args():
+    parser = argparse.ArgumentParser(description='training your network')
+    parser.add_argument('--config', required=True)
+    parser.add_argument('--train_data', required=True)
+    parser.add_argument('--cv_data', required=True)
+    parser.add_argument('--data_type', default='raw',
+                        choices=['raw', 'shard'])
+    parser.add_argument('--model_dir', required=True)
+    parser.add_argument('--checkpoint', default=None)
+    parser.add_argument('--tensorboard_dir', default='tensorboard')
+    parser.add_argument('--override_config', action='append', default=[])
+    parser.add_argument('--mesh', default=None,
+                        help='e.g. data=8 or data=4,model=2')
+    parser.add_argument('--num_workers', type=int, default=0,
+                        help='unused (thread prefetch built in)')
+    parser.add_argument('--prefetch', type=int, default=2)
+    parser.add_argument('--seed', type=int, default=777)
+    return parser.parse_args()
+
+
+def parse_mesh(spec):
+    if not spec:
+        return None
+    return {k: int(v) for k, v in
+            (kv.split('=') for kv in spec.split(','))}
+
+
+def main():
+    args = get_args()
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(levelname)s %(message)s')
+    configs = load_config(args.config, args.override_config)
+    configs['seed'] = args.seed
+
+    tokenizer = init_tokenizer(configs)
+    configs['input_dim'] = configs['dataset_conf'].get(
+        'fbank_conf', configs['dataset_conf'].get(
+            'mfcc_conf', configs['dataset_conf'].get(
+                'log_mel_spectrogram_conf', {}))).get(
+                    'num_mel_bins', 80)
+    configs['output_dim'] = tokenizer.vocab_size()
+
+    # multi-host: initialize the jax distributed runtime when launched
+    # with coordinator env (replaces torchrun env://,
+    # ref train_utils.py:252-270)
+    if 'JAX_COORDINATOR' in os.environ:
+        jax.distributed.initialize(
+            os.environ['JAX_COORDINATOR'],
+            int(os.environ.get('JAX_NUM_PROCESSES', 1)),
+            int(os.environ.get('JAX_PROCESS_ID', 0)))
+    num_hosts = jax.process_count()
+    host_id = jax.process_index()
+
+    train_conf = configs['dataset_conf']
+    cv_conf = dict(train_conf)
+    cv_conf['speed_perturb'] = False
+    cv_conf['spec_aug'] = False
+    cv_conf['spec_sub'] = False
+    cv_conf['spec_trim'] = False
+    cv_conf['shuffle'] = False
+    cv_conf['list_shuffle'] = False
+    cv_conf['cycle'] = 1
+
+    train_dataset = Dataset(args.data_type, args.train_data, tokenizer,
+                            train_conf, partition=True,
+                            num_shards=num_hosts, shard_id=host_id)
+    cv_dataset = Dataset(args.data_type, args.cv_data, tokenizer,
+                         cv_conf, partition=False)
+
+    model, configs = init_model(args, configs)
+    variables, configs = init_variables(model, configs,
+                                        jax.random.PRNGKey(args.seed),
+                                        checkpoint=args.checkpoint)
+    tx, schedule = init_optimizer_and_scheduler(configs)
+    state = create_train_state(variables, tx)
+
+    mesh = make_mesh(parse_mesh(args.mesh))
+    train_step = compile_train_step(model, tx, mesh, schedule)
+    cv_step = jax.jit(make_cv_step(model))
+
+    if host_id == 0:
+        os.makedirs(args.model_dir, exist_ok=True)
+        save_config(configs, os.path.join(args.model_dir, 'train.yaml'))
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        if host_id == 0:
+            writer = SummaryWriter(
+                os.path.join(args.tensorboard_dir,
+                             os.path.basename(args.model_dir)))
+    except ImportError:
+        pass
+
+    executor = Executor(
+        global_step=int(configs.get('init_infos', {}).get('step', 0)))
+    start_epoch = int(configs.get('init_infos', {}).get('epoch', -1)) + 1
+    max_epoch = configs.get('max_epoch', 100)
+    # put state on the mesh
+    state = jax.device_put(state, replicated(mesh))
+    for epoch in range(start_epoch, max_epoch):
+        configs['epoch'] = epoch
+        logging.info('Epoch %d TRAIN info lr %s', epoch,
+                     float(schedule(state.step)))
+        state = executor.train(train_step, state, train_dataset,
+                               cv_dataset, cv_step, writer, configs,
+                               mesh=mesh, model_dir=args.model_dir)
+        loss_dict = executor.cv(cv_step, state, cv_dataset, configs)
+        logging.info('Epoch %d CV info %s', epoch, loss_dict)
+        if host_id == 0:
+            info = dict(epoch=epoch, step=int(state.step),
+                        tag=f'epoch_{epoch}',
+                        cv_loss=float(loss_dict.get('loss', 0.0)),
+                        save_time=datetime.datetime.now().strftime(
+                            '%d/%m/%Y %H:%M:%S'))
+            save_checkpoint(state.variables(),
+                            os.path.join(args.model_dir,
+                                         f'epoch_{epoch}'), info)
+            final = os.path.join(args.model_dir, 'final')
+            if os.path.islink(final):
+                os.unlink(final)
+            if not os.path.exists(final):
+                os.symlink(f'epoch_{epoch}', final)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,148 @@
+"""AsrRunner: bound (module, variables) with cached jitted methods.
+
+The torch reference calls bound nn.Module methods (asr_model.py:267-343
+decode dispatch); the linen equivalent needs apply + jit caching, which
+this wrapper centralizes for recognize.py / the CLI / servers.
+"""
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wenet_tpu.models.transformer.search import (DecodeResult,
+                                                 attention_beam_search,
+                                                 attention_rescoring,
+                                                 ctc_greedy_search,
+                                                 ctc_prefix_beam_search)
+
+
+class AsrRunner:
+
+    def __init__(self, model, variables, dtype=None):
+        self.model = model
+        if dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, 'dtype') and jnp.issubdtype(
+                    x.dtype, jnp.floating) else x, variables)
+        self.variables = variables
+        self._jitted: Dict[str, object] = {}
+
+    def _fn(self, name):
+        if name not in self._jitted:
+            model = self.model
+            method = getattr(model, name)
+
+            def fn(variables, *args):
+                return model.apply(variables, *args, method=method)
+
+            self._jitted[name] = jax.jit(fn)
+        return self._jitted[name]
+
+    # ------------------------------------------------------------------
+    def forward_encoder(self, feats, feats_lengths,
+                        decoding_chunk_size: int = -1,
+                        num_decoding_left_chunks: int = -1,
+                        simulate_streaming: bool = False):
+        if simulate_streaming and decoding_chunk_size > 0:
+            from wenet_tpu.models.transformer.streaming import (
+                StreamingConfig, forward_chunk_by_chunk)
+            cfg = StreamingConfig(
+                decoding_chunk_size=decoding_chunk_size,
+                num_decoding_left_chunks=num_decoding_left_chunks,
+                subsampling_rate=self.model.encoder.subsampling_rate,
+                right_context=self.model.encoder.right_context)
+            return forward_chunk_by_chunk(self.model, self.variables,
+                                          feats, cfg)
+        # full-context (or chunk-masked) forward
+        model = self.model
+        key = f'_fwd_enc_{decoding_chunk_size}_{num_decoding_left_chunks}'
+        if key not in self._jitted:
+
+            def fn(variables, feats, feats_lengths):
+                return model.apply(variables, feats, feats_lengths,
+                                   decoding_chunk_size,
+                                   num_decoding_left_chunks,
+                                   method=model.forward_encoder)
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key](self.variables, feats, feats_lengths)
+
+    def ctc_logprobs(self, encoder_out, blank_penalty: float = 0.0,
+                     blank_id: int = 0):
+        model = self.model
+        key = f'_ctc_logp_{blank_penalty}_{blank_id}'
+        if key not in self._jitted:
+
+            def fn(variables, encoder_out):
+                return model.apply(variables, encoder_out, blank_penalty,
+                                   blank_id, method=model.ctc_logprobs)
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key](self.variables, encoder_out)
+
+    # ------------------------------------------------------------------
+    def decode(self,
+               methods: List[str],
+               feats,
+               feats_lengths,
+               beam_size: int = 10,
+               decoding_chunk_size: int = -1,
+               num_decoding_left_chunks: int = -1,
+               ctc_weight: float = 0.0,
+               simulate_streaming: bool = False,
+               reverse_weight: float = 0.0,
+               context_graph=None,
+               blank_id: int = 0,
+               blank_penalty: float = 0.0,
+               length_penalty: float = 0.0,
+               infos: Optional[Dict[str, List[str]]] = None
+               ) -> Dict[str, List[DecodeResult]]:
+        """ref: asr_model.py:267-343."""
+        feats = jnp.asarray(feats)
+        feats_lengths = jnp.asarray(feats_lengths)
+        encoder_out, encoder_mask = self.forward_encoder(
+            feats, feats_lengths, decoding_chunk_size,
+            num_decoding_left_chunks, simulate_streaming)
+        encoder_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1)
+        ctc_probs = self.ctc_logprobs(encoder_out, blank_penalty,
+                                      blank_id)
+        results: Dict[str, List[DecodeResult]] = {}
+        if 'attention' in methods:
+            results['attention'] = attention_beam_search(
+                self.model, self.variables, encoder_out, encoder_mask,
+                beam_size, length_penalty, infos)
+        if 'ctc_greedy_search' in methods:
+            results['ctc_greedy_search'] = ctc_greedy_search(
+                ctc_probs, encoder_lens, blank_id)
+        need_prefix = ('ctc_prefix_beam_search' in methods or
+                       'attention_rescoring' in methods)
+        if need_prefix:
+            ctc_prefix_result = ctc_prefix_beam_search(
+                ctc_probs, encoder_lens, beam_size, context_graph,
+                blank_id)
+            if 'ctc_prefix_beam_search' in methods:
+                results['ctc_prefix_beam_search'] = ctc_prefix_result
+        if 'attention_rescoring' in methods:
+            results['attention_rescoring'] = attention_rescoring(
+                self.model, self.variables, ctc_prefix_result,
+                encoder_out, encoder_lens, ctc_weight, reverse_weight,
+                infos)
+        return results
+
+    # ------------------------------------------------------------------
+    def transcribe(self, wav_path: str, tokenizer=None,
+                   compute_feature=None, method: Optional[str] = None):
+        """CLI one-shot path. ref: asr_model.py:345-358."""
+        assert compute_feature is not None
+        feats = compute_feature(wav_path)
+        feats = jnp.asarray(feats)[None, ...]
+        lengths = jnp.asarray([feats.shape[1]])
+        method = method or self.model.default_decode_method
+        results = self.decode([method], feats, lengths)
+        result = results[method][0]
+        if tokenizer is not None:
+            result.text = tokenizer.detokenize(list(result.tokens))[0]
+        return result
