@@ -54,6 +54,7 @@ class TransformerDecoder(nn.Module):
     src_query_bias: bool = True
     src_key_bias: bool = True
     src_value_bias: bool = True
+    learnable_pe_max_len: int = 448  # whisper n_text_ctx
 
     def setup(self):
         dim = self.encoder_output_size
@@ -61,7 +62,8 @@ class TransformerDecoder(nn.Module):
             self.embed_tokens = nn.Embed(self.vocab_size, dim, name='embed')
         if self.input_layer == 'embed_learnable_pe':
             self.pos_enc = LearnablePositionalEncoding(
-                dim, self.positional_dropout_rate, name='pos_enc')
+                dim, self.positional_dropout_rate,
+                max_len=self.learnable_pe_max_len, name='pos_enc')
         elif self.input_layer == 'no_pos':
             self.pos_enc = NoPositionalEncoding(
                 dim, self.positional_dropout_rate, name='pos_enc')

@@ -56,6 +56,10 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> Optional[str]:
                 'decoder', 'left_decoder', 'right_decoder'):
             out += ['embed', '0']  # decoder embedding inside Sequential
             continue
+        if seg == 'pos_enc' and i > 0 and segs[i - 1] in (
+                'decoder', 'left_decoder', 'right_decoder'):
+            out += ['embed', '1']  # learnable PE in decoder Sequential
+            continue
         if seg == 'pos_enc' and out and out[-1] == 'embed' and \
                 collection == 'params':
             out[-1:] = ['embed', '1']  # learnable PE in decoder embed

@@ -20,6 +20,7 @@ from wenet_tpu.models.transformer.decoder import (BiTransformerDecoder,
                                                   TransformerDecoder)
 from wenet_tpu.models.transformer.encoder import (ConformerEncoder,
                                                   TransformerEncoder)
+from wenet_tpu.models.whisper.whisper import Whisper
 
 ENCODER_CLASSES = {
     'transformer': TransformerEncoder,
@@ -37,6 +38,7 @@ CTC_CLASSES = {
 
 MODEL_CLASSES = {
     'asr_model': ASRModel,
+    'whisper': Whisper,
 }
 
 PREDICTOR_CLASSES: Dict[str, Any] = {}
