@@ -29,9 +29,10 @@ def label_smoothing_loss(logits: jax.Array,
                                     axis=-1).squeeze(-1)
     sum_logp = jnp.sum(logp, axis=-1)
     cross = -(confidence * logp_true + low * (sum_logp - logp_true))
-    # entropy of p (same for every position): sum p log p
-    ent = (confidence * jnp.log(jnp.maximum(confidence, 1e-38)) +
-           (size - 1) * low * jnp.log(jnp.maximum(low, 1e-38)))
+    # entropy of p (same for every position, fully static): sum p log p
+    import math
+    ent = (confidence * math.log(confidence) if confidence > 0 else 0.0)
+    ent += ((size - 1) * low * math.log(low) if low > 0 else 0.0)
     kl = cross + ent
     kl = jnp.where(ignore, 0.0, kl)
     total = jnp.maximum(jnp.sum(~ignore), 1)

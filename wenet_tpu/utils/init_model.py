@@ -20,6 +20,11 @@ from wenet_tpu.models.transformer.decoder import (BiTransformerDecoder,
                                                   TransformerDecoder)
 from wenet_tpu.models.transformer.encoder import (ConformerEncoder,
                                                   TransformerEncoder)
+from wenet_tpu.models.transducer.joint import TransducerJoint
+from wenet_tpu.models.transducer.predictor import (ConvPredictor,
+                                                   EmbeddingPredictor,
+                                                   RNNPredictor)
+from wenet_tpu.models.transducer.transducer import Transducer
 from wenet_tpu.models.whisper.whisper import Whisper
 
 ENCODER_CLASSES = {
@@ -39,10 +44,17 @@ CTC_CLASSES = {
 MODEL_CLASSES = {
     'asr_model': ASRModel,
     'whisper': Whisper,
+    'transducer': Transducer,
 }
 
-PREDICTOR_CLASSES: Dict[str, Any] = {}
-JOINT_CLASSES: Dict[str, Any] = {}
+PREDICTOR_CLASSES: Dict[str, Any] = {
+    'rnn': RNNPredictor,
+    'embedding': EmbeddingPredictor,
+    'conv': ConvPredictor,
+}
+JOINT_CLASSES: Dict[str, Any] = {
+    'transducer_joint': TransducerJoint,
+}
 
 
 def register_model(name, cls):
@@ -113,10 +125,31 @@ def init_model(args, configs) -> Tuple[Any, dict]:
                                  {}).get('special_tokens', None)
     model_conf = dict(configs.get('model_conf', {}))
     model_cls = MODEL_CLASSES[model_type]
+    extra = {}
+    if model_type == 'transducer':
+        # ref: init_model.py:137-154
+        predictor_type = configs.get('predictor', 'rnn')
+        joint_type = configs.get('joint', 'transducer_joint')
+        pred_cls = PREDICTOR_CLASSES[predictor_type]
+        pred_conf = _filter_conf(configs.get('predictor_conf', {}),
+                                 pred_cls, set())
+        predictor = pred_cls(voca_size=vocab_size, name='predictor',
+                             **pred_conf)
+        joint_cls = JOINT_CLASSES[joint_type]
+        joint_conf = _filter_conf(configs.get('joint_conf', {}),
+                                  joint_cls, set())
+        joint_conf.setdefault('enc_output_size', encoder.output_size)
+        joint_conf.setdefault('pred_output_size',
+                              pred_conf.get('output_size', 256))
+        joint_conf.setdefault('join_dim', 256)
+        joint = joint_cls(vocab_size=vocab_size, name='joint',
+                          **joint_conf)
+        extra = {'predictor': predictor, 'joint': joint, 'blank': 0}
     model_conf = _filter_conf(model_conf, model_cls, set())
     model = model_cls(vocab_size=vocab_size, encoder=encoder,
                       decoder=decoder, ctc=ctc,
-                      special_tokens=special_tokens, **model_conf)
+                      special_tokens=special_tokens, **extra,
+                      **model_conf)
     return model, configs
 
 
