@@ -1,0 +1,134 @@
+"""Paraformer tests: LFR, CIF scan vs sequential, model loss + decode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wenet_tpu.models.paraformer.cif import cif, cif_without_hidden
+from wenet_tpu.models.paraformer.layers import lfr
+
+
+def sequential_cif(hidden, alphas, threshold):
+    """numpy port of the reference loop (ref cif.py:250-296)."""
+    B, T, D = hidden.shape
+    integrate = np.zeros(B)
+    frame = np.zeros((B, D))
+    fires, frames = [], []
+    for t in range(T):
+        alpha = alphas[:, t]
+        dist_comp = 1.0 - integrate
+        integrate = integrate + alpha
+        fires.append(integrate.copy())
+        fire = integrate >= threshold
+        integrate = np.where(fire, integrate - 1.0, integrate)
+        cur = np.where(fire, dist_comp, alpha)
+        remainds = alpha - cur
+        frame = frame + cur[:, None] * hidden[:, t]
+        frames.append(frame.copy())
+        frame = np.where(fire[:, None], remainds[:, None] * hidden[:, t],
+                         frame)
+    fires = np.stack(fires, 1)
+    frames = np.stack(frames, 1)
+    outs = []
+    max_lab = int(np.round(alphas.sum(-1)).max())
+    for b in range(B):
+        sel = frames[b][fires[b] >= threshold]
+        pad = np.zeros((max_lab - len(sel), D))
+        outs.append(np.concatenate([sel, pad], 0) if len(sel) else pad)
+    return np.stack(outs, 0), fires
+
+
+def test_cif_matches_sequential():
+    rng = np.random.RandomState(0)
+    B, T, D = 2, 12, 4
+    hidden = rng.randn(B, T, D).astype(np.float32)
+    alphas = rng.uniform(0, 0.5, (B, T)).astype(np.float32)
+    ref_frames, ref_fires = sequential_cif(hidden, alphas, 1.0)
+    U = ref_frames.shape[1]
+    frames, fires = cif(jnp.asarray(hidden), jnp.asarray(alphas), 1.0, U)
+    np.testing.assert_allclose(np.asarray(fires), ref_fires, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(frames), ref_frames, atol=1e-5)
+
+
+def test_cif_without_hidden():
+    alphas = jnp.asarray([[0.4, 0.4, 0.4, 0.4]])
+    fires = np.asarray(cif_without_hidden(alphas, 1.0))
+    np.testing.assert_allclose(fires[0], [0.4, 0.8, 1.2, 0.6], atol=1e-6)
+
+
+def test_lfr_shapes_and_content():
+    B, T, D, m, n = 2, 13, 4, 7, 6
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, D).astype(np.float32)
+    lens = jnp.asarray([13, 10])
+    out, new_len = lfr(jnp.asarray(x), lens, m, n)
+    out = np.asarray(out)
+    assert out.shape == (B, (T + n - 1) // n, m * D)
+    # first output frame stacks [pad(head)*3, x0..x3] with left=3
+    left = 3
+    first = np.concatenate([np.repeat(x[0, :1], left, 0),
+                            x[0, :m - left]], 0).reshape(-1)
+    np.testing.assert_allclose(out[0, 0], first, atol=1e-6)
+
+
+@pytest.fixture(scope='module')
+def paraformer_model():
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    configs = {
+        'input_dim': 280,  # 40 mel * lfr_m 7
+        'output_dim': 50,
+        'lfr_conf': {'lfr_m': 7, 'lfr_n': 6},
+        'encoder': 'sanm_encoder',
+        'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                         'linear_units': 64, 'num_blocks': 2,
+                         'kernel_size': 7},
+        'decoder': 'sanm_decoder',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 64,
+                         'num_blocks': 2, 'att_layer_num': 2,
+                         'kernel_size': 7},
+        'model': 'paraformer',
+        'model_conf': {'ctc_weight': 0.3, 'lsm_weight': 0.1,
+                       'sampler': True, 'sampling_ratio': 0.75,
+                       'add_eos': True},
+        'predictor': 'cif_predictor',
+        'predictor_conf': {'idim': 32, 'l_order': 1, 'r_order': 1,
+                           'tail_threshold': 0.45},
+        'tokenizer_conf': {'special_tokens': {'<sos>': 48, '<eos>': 49}},
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    return model, variables
+
+
+def test_paraformer_loss(paraformer_model):
+    model, variables = paraformer_model
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 60, 40), jnp.float32)
+    fl = jnp.asarray([60, 45])
+    tgt = jnp.asarray(rng.randint(1, 47, (2, 5)), jnp.int32)
+    tl = jnp.asarray([5, 3])
+    tgt = jnp.where(jnp.arange(5)[None] < tl[:, None], tgt, -1)
+    out = model.apply(variables, feats, fl, tgt, tl, train=True,
+                      chunk_rng=jax.random.PRNGKey(3),
+                      rngs={'dropout': jax.random.PRNGKey(1)})
+    assert np.isfinite(float(out['loss']))
+    assert np.isfinite(float(out['loss_quantity']))
+    assert np.isfinite(float(out['loss_quantity_tp']))
+
+
+def test_paraformer_decode(paraformer_model):
+    model, variables = paraformer_model
+    from wenet_tpu.models.runner import AsrRunner
+    runner = AsrRunner(model, variables)
+    rng = np.random.RandomState(1)
+    feats = rng.randn(2, 60, 40).astype(np.float32)
+    fl = np.asarray([60, 45])
+    results = runner.decode(
+        ['paraformer_greedy_search', 'ctc_greedy_search'], feats, fl)
+    assert len(results['paraformer_greedy_search']) == 2
+    for r in results['paraformer_greedy_search']:
+        assert r.times is not None
+        assert len(r.times) == len(r.tokens)
+    assert len(results['ctc_greedy_search']) == 2

@@ -103,6 +103,10 @@ class AsrRunner:
         """ref: asr_model.py:267-343."""
         feats = jnp.asarray(feats)
         feats_lengths = jnp.asarray(feats_lengths)
+        if hasattr(self.model, 'forward_paraformer'):
+            return self._decode_paraformer(methods, feats, feats_lengths,
+                                           beam_size, context_graph,
+                                           blank_id, blank_penalty)
         encoder_out, encoder_mask = self.forward_encoder(
             feats, feats_lengths, decoding_chunk_size,
             num_decoding_left_chunks, simulate_streaming)
@@ -146,3 +150,47 @@ class AsrRunner:
         if tokenizer is not None:
             result.text = tokenizer.detokenize(list(result.tokens))[0]
         return result
+
+    # ------------------------------------------------------------------
+    def _decode_paraformer(self, methods, feats, feats_lengths,
+                           beam_size, context_graph, blank_id,
+                           blank_penalty):
+        """ref: wenet/models/paraformer/paraformer.py:362-420."""
+        from wenet_tpu.models.paraformer.search import (
+            paraformer_beam_search, paraformer_greedy_search)
+        model = self.model
+        if '_paraformer_fwd' not in self._jitted:
+
+            def fn(variables, feats, feats_lengths):
+                return model.apply(variables, feats, feats_lengths,
+                                   method=model.forward_paraformer)
+
+            self._jitted['_paraformer_fwd'] = jax.jit(fn)
+        res = self._jitted['_paraformer_fwd'](self.variables, feats,
+                                              feats_lengths)
+        results = {}
+        if 'paraformer_greedy_search' in methods or                 'paraformer_beam_search' in methods:
+            peaks = self.model.apply(self.variables, res['tp_alphas'],
+                                     res['decoder_out_lens'],
+                                     method=model.forward_cif_peaks)
+        if 'paraformer_greedy_search' in methods:
+            results['paraformer_greedy_search'] =                 paraformer_greedy_search(res['decoder_out'],
+                                         res['decoder_out_lens'], peaks)
+        if 'paraformer_beam_search' in methods:
+            results['paraformer_beam_search'] = paraformer_beam_search(
+                res['decoder_out'], res['decoder_out_lens'],
+                beam_size=beam_size, eos=model.eos)
+        if 'ctc_greedy_search' in methods or                 'ctc_prefix_beam_search' in methods:
+            from wenet_tpu.models.transformer.search import (
+                ctc_greedy_search, ctc_prefix_beam_search)
+            ctc_probs = self.ctc_logprobs(res['encoder_out'],
+                                          blank_penalty, blank_id)
+            enc_lens = jnp.sum(res['encoder_out_mask'][:, 0, :], -1)
+            if 'ctc_greedy_search' in methods:
+                results['ctc_greedy_search'] = ctc_greedy_search(
+                    ctc_probs, enc_lens, blank_id)
+            if 'ctc_prefix_beam_search' in methods:
+                results['ctc_prefix_beam_search'] =                     ctc_prefix_beam_search(ctc_probs, enc_lens,
+                                           beam_size, context_graph,
+                                           blank_id)
+        return results

@@ -29,38 +29,47 @@ class _KernelHolder(nn.Module):
 
 
 class TorchLSTM(nn.Module):
-    """Multi-layer LSTM with torch-compatible parameters."""
+    """Multi-layer (optionally bidirectional) LSTM with torch-compatible
+    parameters."""
     input_size: int
     hidden_size: int
     num_layers: int
     bias: bool = True
     dropout: float = 0.0
+    bidirectional: bool = False
+
+    def _make_layer(self, k, in_dim, suffix=''):
+        return {
+            'weight_ih': self.param(f'weight_ih_l{k}{suffix}',
+                                    nn.initializers.lecun_normal(),
+                                    (4 * self.hidden_size, in_dim)),
+            'weight_hh': self.param(f'weight_hh_l{k}{suffix}',
+                                    nn.initializers.orthogonal(),
+                                    (4 * self.hidden_size,
+                                     self.hidden_size)),
+            'bias_ih': self.param(f'bias_ih_l{k}{suffix}',
+                                  nn.initializers.zeros,
+                                  (4 * self.hidden_size,))
+            if self.bias else None,
+            'bias_hh': self.param(f'bias_hh_l{k}{suffix}',
+                                  nn.initializers.zeros,
+                                  (4 * self.hidden_size,))
+            if self.bias else None,
+        }
 
     def setup(self):
-        ks = []
+        dirs = 2 if self.bidirectional else 1
+        ks, rks = [], []
         for k in range(self.num_layers):
-            in_dim = self.input_size if k == 0 else self.hidden_size
-            ks.append({
-                'weight_ih': self.param(f'weight_ih_l{k}',
-                                        nn.initializers.lecun_normal(),
-                                        (4 * self.hidden_size, in_dim)),
-                'weight_hh': self.param(f'weight_hh_l{k}',
-                                        nn.initializers.orthogonal(),
-                                        (4 * self.hidden_size,
-                                         self.hidden_size)),
-                'bias_ih': self.param(f'bias_ih_l{k}',
-                                      nn.initializers.zeros,
-                                      (4 * self.hidden_size,))
-                if self.bias else None,
-                'bias_hh': self.param(f'bias_hh_l{k}',
-                                      nn.initializers.zeros,
-                                      (4 * self.hidden_size,))
-                if self.bias else None,
-            })
+            in_dim = (self.input_size
+                      if k == 0 else self.hidden_size * dirs)
+            ks.append(self._make_layer(k, in_dim))
+            if self.bidirectional:
+                rks.append(self._make_layer(k, in_dim, '_reverse'))
         self.layers = ks
+        self.rlayers = rks
 
-    def _cell(self, k, x, h, c):
-        p = self.layers[k]
+    def _cell(self, p, x, h, c):
         gates = x @ p['weight_ih'].T + h @ p['weight_hh'].T
         if self.bias:
             gates = gates + p['bias_ih'] + p['bias_hh']
@@ -69,33 +78,46 @@ class TorchLSTM(nn.Module):
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         return h_new, c_new
 
+    def _run_dir(self, p, xs, h0, c0, reverse=False):
+        def step(carry, xt):
+            h, c = carry
+            h, c = self._cell(p, xt, h, c)
+            return (h, c), h
+
+        (h, c), ys = jax.lax.scan(step, (h0, c0),
+                                  jnp.swapaxes(xs, 0, 1),
+                                  reverse=reverse)
+        return jnp.swapaxes(ys, 0, 1), h, c
+
     def __call__(self, x, state):
-        """x: (B, L, E); state: (h, c) each (num_layers, B, H)."""
+        """x: (B, L, E); state: (h, c) each (num_layers*dirs, B, H)."""
         h0, c0 = state
-
-        def scan_layer(k, xs):
-            def step(carry, xt):
-                h, c = carry
-                h, c = self._cell(k, xt, h, c)
-                return (h, c), h
-
-            (h, c), ys = jax.lax.scan(step, (h0[k], c0[k]),
-                                      jnp.swapaxes(xs, 0, 1))
-            return jnp.swapaxes(ys, 0, 1), h, c
-
+        dirs = 2 if self.bidirectional else 1
         hs, cs = [], []
         for k in range(self.num_layers):
-            x, h, c = scan_layer(k, x)
+            fwd, h, c = self._run_dir(self.layers[k], x,
+                                      h0[k * dirs], c0[k * dirs])
             hs.append(h)
             cs.append(c)
+            if self.bidirectional:
+                bwd, hr, cr = self._run_dir(self.rlayers[k], x,
+                                            h0[k * dirs + 1],
+                                            c0[k * dirs + 1],
+                                            reverse=True)
+                hs.append(hr)
+                cs.append(cr)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
         return x, (jnp.stack(hs), jnp.stack(cs))
 
     def step(self, x, state):
-        """x: (B, E) single step."""
+        """x: (B, E) single step (unidirectional only)."""
+        assert not self.bidirectional
         h0, c0 = state
         hs, cs = [], []
         for k in range(self.num_layers):
-            h, c = self._cell(k, x, h0[k], c0[k])
+            h, c = self._cell(self.layers[k], x, h0[k], c0[k])
             x = h
             hs.append(h)
             cs.append(c)

@@ -25,7 +25,8 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 # flax path -> torch key mapping
 # ---------------------------------------------------------------------------
-_LIST_SEG = re.compile(r'^(encoders|decoders|interctc|blocks)_(\d+)$')
+_LIST_SEG = re.compile(
+    r'^(encoders0|encoders|decoders3|decoders|interctc|blocks)_(\d+)$')
 _CONV_SEG = re.compile(r'^conv_(\d+)$')
 
 
@@ -86,7 +87,10 @@ def _to_flax_leaf(torch_arr: np.ndarray, target: np.ndarray,
         elif a.ndim == 3 and target.ndim == 2:
             a = a[:, :, 0].T  # pointwise Conv1d -> Dense
         elif a.ndim == 3 and target.ndim == 3:
-            a = a.transpose(2, 1, 0)  # Conv1d (O,I,K) -> (K,I,O)
+            t = a.transpose(2, 1, 0)  # Conv1d (O,I,K) -> (K,I,O)
+            if t.shape != target.shape:
+                t = a.transpose(2, 0, 1)  # ConvTranspose1d (I,O,K)
+            a = t
         elif a.ndim == 4 and target.ndim == 4:
             a = a.transpose(2, 3, 1, 0)  # Conv2d OIHW -> HWIO
     if a.shape != target.shape:

@@ -25,16 +25,20 @@ from wenet_tpu.models.transducer.predictor import (ConvPredictor,
                                                    EmbeddingPredictor,
                                                    RNNPredictor)
 from wenet_tpu.models.transducer.transducer import Transducer
+from wenet_tpu.models.paraformer.layers import SanmDecoder, SanmEncoder
+from wenet_tpu.models.paraformer.paraformer import Paraformer, Predictor
 from wenet_tpu.models.whisper.whisper import Whisper
 
 ENCODER_CLASSES = {
     'transformer': TransformerEncoder,
     'conformer': ConformerEncoder,
+    'sanm_encoder': SanmEncoder,
 }
 
 DECODER_CLASSES = {
     'transformer': TransformerDecoder,
     'bitransformer': BiTransformerDecoder,
+    'sanm_decoder': SanmDecoder,
 }
 
 CTC_CLASSES = {
@@ -45,6 +49,7 @@ MODEL_CLASSES = {
     'asr_model': ASRModel,
     'whisper': Whisper,
     'transducer': Transducer,
+    'paraformer': Paraformer,
 }
 
 PREDICTOR_CLASSES: Dict[str, Any] = {
@@ -145,6 +150,15 @@ def init_model(args, configs) -> Tuple[Any, dict]:
         joint = joint_cls(vocab_size=vocab_size, name='joint',
                           **joint_conf)
         extra = {'predictor': predictor, 'joint': joint, 'blank': 0}
+    elif model_type == 'paraformer':
+        # ref: init_model.py:155-168
+        pred_conf = _filter_conf(configs.get('predictor_conf', {}),
+                                 Predictor, set())
+        pred_conf.setdefault('idim', encoder.output_size
+                             if hasattr(encoder, 'output_size') else 256)
+        pred_conf.setdefault('l_order', 1)
+        pred_conf.setdefault('r_order', 1)
+        extra = {'predictor': Predictor(name='predictor', **pred_conf)}
     model_conf = _filter_conf(model_conf, model_cls, set())
     model = model_cls(vocab_size=vocab_size, encoder=encoder,
                       decoder=decoder, ctc=ctc,
@@ -162,6 +176,9 @@ def init_variables(model, configs, rng: Optional[jax.Array] = None,
     orbax checkpoint directory."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     input_dim = configs['input_dim']
+    if 'lfr_conf' in configs:
+        # paraformer: model input is pre-LFR features
+        input_dim = input_dim // configs['lfr_conf'].get('lfr_m', 7)
     feats = jnp.zeros((1, 16, input_dim), dtype)
     feats_lengths = jnp.asarray([16])
     target = jnp.zeros((1, 4), jnp.int32)
