@@ -196,11 +196,15 @@ class BaseEncoder(nn.Module):
         new_k, new_v, new_cnn = [], [], []
         for i, layer in enumerate(self.encoders):
             kv = (k_cache[i], v_cache[i])
+            layer_cnn_in = None
+            if cnn_cache is not None:
+                layer_cnn_in = jax.tree_util.tree_map(
+                    lambda x, i=i: x[i], cnn_cache)
             xs, _, new_kv, layer_cnn = layer(
                 xs, att_mask, pos_emb,
                 mask_pad=None,
                 att_cache=kv,
-                cnn_cache=None if cnn_cache is None else cnn_cache[i])
+                cnn_cache=layer_cnn_in)
             # right-aligned fixed window (ref keeps [next_cache_start:])
             new_k.append(new_kv[0][:, :, -cache_t1:, :])
             new_v.append(new_kv[1][:, :, -cache_t1:, :])
@@ -209,7 +213,8 @@ class BaseEncoder(nn.Module):
         if self.normalize_before and self.final_norm:
             xs = self.after_norm(xs)
         r_att = (jnp.stack(new_k, 0), jnp.stack(new_v, 0))
-        r_cnn = jnp.stack(new_cnn, 0) if new_cnn else None
+        r_cnn = (jax.tree_util.tree_map(lambda *x: jnp.stack(x, 0),
+                                        *new_cnn) if new_cnn else None)
         return xs, r_att, r_cnn
 
     # ------------------------------------------------------------------
@@ -222,12 +227,16 @@ class BaseEncoder(nn.Module):
                 if self.n_kv_head is None else self.n_kv_head)
         k = jnp.zeros((self.num_blocks, batch_size, h_kv,
                        required_cache_size, d_k), dtype)
-        cnn = None
-        lorder = getattr(self, 'cnn_lorder', 0)
-        if lorder:
-            cnn = jnp.zeros((self.num_blocks, batch_size, lorder,
-                             self.output_size), dtype)
+        cnn = self.zero_cnn_cache(batch_size, dtype)
         return (k, k), cnn
+
+    def zero_cnn_cache(self, batch_size: int, dtype=jnp.float32):
+        lorder = getattr(self, 'cnn_lorder', 0)
+        if not lorder:
+            return None
+        channels = getattr(self, 'cnn_cache_channels', self.output_size)
+        return jnp.zeros((self.num_blocks, batch_size, lorder, channels),
+                         dtype)
 
 
 class TransformerEncoder(BaseEncoder):

@@ -25,6 +25,8 @@ from wenet_tpu.models.transducer.predictor import (ConvPredictor,
                                                    EmbeddingPredictor,
                                                    RNNPredictor)
 from wenet_tpu.models.transducer.transducer import Transducer
+from wenet_tpu.models.branchformer.encoder import BranchformerEncoder
+from wenet_tpu.models.e_branchformer.encoder import EBranchformerEncoder
 from wenet_tpu.models.paraformer.layers import SanmDecoder, SanmEncoder
 from wenet_tpu.models.paraformer.paraformer import Paraformer, Predictor
 from wenet_tpu.models.whisper.whisper import Whisper
@@ -33,6 +35,8 @@ ENCODER_CLASSES = {
     'transformer': TransformerEncoder,
     'conformer': ConformerEncoder,
     'sanm_encoder': SanmEncoder,
+    'branchformer': BranchformerEncoder,
+    'e_branchformer': EBranchformerEncoder,
 }
 
 DECODER_CLASSES = {
