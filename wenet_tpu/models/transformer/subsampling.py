@@ -203,8 +203,37 @@ class StackNFramesSubsampling(nn.Module):
         return self.pos_enc.position_encoding(offset, size)
 
 
+class Conv2dSubsampling2(nn.Module):
+    """One stride-2 3x3 conv -> 1/2 length (efficient conformer).
+
+    ref: wenet/models/efficient_conformer/subsampling.py:25-80."""
+    idim: int
+    odim: int
+    dropout_rate: float
+    pos_enc: nn.Module
+    subsampling_rate: int = 2
+    right_context: int = 2
+
+    @nn.compact
+    def __call__(self, x, x_mask, offset: IntLike = 0,
+                 deterministic: bool = True):
+        x = x[..., None]
+        x = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding='VALID',
+                    name='conv_0')(x)
+        x = jax.nn.relu(x)
+        b, t, f, c = x.shape
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, c * f)
+        x = nn.Dense(self.odim, name='out')(x)
+        x, pos_emb = self.pos_enc(x, offset, deterministic=deterministic)
+        return x, pos_emb, x_mask[:, :, :-2:2]
+
+    def position_encoding(self, offset: IntLike, size: int) -> jax.Array:
+        return self.pos_enc.position_encoding(offset, size)
+
+
 SUBSAMPLE_CLASSES = {
     'linear': LinearNoSubsampling,
+    'conv2d2': Conv2dSubsampling2,
     'embed': EmbedNoSubsampling,
     'conv1d2': Conv1dSubsampling2,
     'conv2d': Conv2dSubsampling4,

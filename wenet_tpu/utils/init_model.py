@@ -27,7 +27,10 @@ from wenet_tpu.models.transducer.predictor import (ConvPredictor,
 from wenet_tpu.models.transducer.transducer import Transducer
 from wenet_tpu.models.branchformer.encoder import BranchformerEncoder
 from wenet_tpu.models.e_branchformer.encoder import EBranchformerEncoder
+from wenet_tpu.models.efficient_conformer.encoder import (
+    EfficientConformerEncoder)
 from wenet_tpu.models.paraformer.layers import SanmDecoder, SanmEncoder
+from wenet_tpu.models.squeezeformer.encoder import SqueezeformerEncoder
 from wenet_tpu.models.paraformer.paraformer import Paraformer, Predictor
 from wenet_tpu.models.whisper.whisper import Whisper
 
@@ -37,6 +40,8 @@ ENCODER_CLASSES = {
     'sanm_encoder': SanmEncoder,
     'branchformer': BranchformerEncoder,
     'e_branchformer': EBranchformerEncoder,
+    'squeezeformer': SqueezeformerEncoder,
+    'efficientConformer': EfficientConformerEncoder,
 }
 
 DECODER_CLASSES = {
@@ -111,8 +116,9 @@ def init_model(args, configs) -> Tuple[Any, dict]:
     use_cmvn = configs.get('cmvn', None) == 'global_cmvn'
 
     enc_cls = ENCODER_CLASSES[encoder_type]
-    enc_conf = _filter_conf(configs['encoder_conf'], enc_cls,
-                            _ENCODER_DROP_KEYS)
+    raw_enc_conf = dict(configs['encoder_conf'])
+    raw_enc_conf.update(raw_enc_conf.pop('efficient_conf', {}))
+    enc_conf = _filter_conf(raw_enc_conf, enc_cls, _ENCODER_DROP_KEYS)
     encoder = enc_cls(input_size=input_dim, use_cmvn=use_cmvn,
                       name='encoder', **enc_conf)
 
