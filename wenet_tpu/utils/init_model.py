@@ -31,6 +31,7 @@ from wenet_tpu.models.efficient_conformer.encoder import (
     EfficientConformerEncoder)
 from wenet_tpu.models.paraformer.layers import SanmDecoder, SanmEncoder
 from wenet_tpu.models.squeezeformer.encoder import SqueezeformerEncoder
+from wenet_tpu.models.ssl.w2vbert_model import SSL_MODEL_CLASSES
 from wenet_tpu.models.paraformer.paraformer import Paraformer, Predictor
 from wenet_tpu.models.whisper.whisper import Whisper
 
@@ -112,6 +113,8 @@ def init_model(args, configs) -> Tuple[Any, dict]:
     ctc_type = configs.get('ctc', 'ctc')
     model_type = configs.get('model', 'asr_model')
     configs['model'] = model_type
+    if model_type in SSL_MODEL_CLASSES:
+        decoder_type = None
 
     use_cmvn = configs.get('cmvn', None) == 'global_cmvn'
 
@@ -139,6 +142,11 @@ def init_model(args, configs) -> Tuple[Any, dict]:
     special_tokens = configs.get('tokenizer_conf',
                                  {}).get('special_tokens', None)
     model_conf = dict(configs.get('model_conf', {}))
+    if model_type in SSL_MODEL_CLASSES:
+        # ref: wenet/models/ssl/init_model.py:12-19
+        ssl_cls = SSL_MODEL_CLASSES[model_type]
+        ssl_conf = _filter_conf(model_conf, ssl_cls, set())
+        return ssl_cls(encoder=encoder, **ssl_conf), configs
     model_cls = MODEL_CLASSES[model_type]
     extra = {}
     if model_type == 'transducer':
