@@ -82,6 +82,8 @@ class MultiHeadedAttention(nn.Module):
     value_bias: bool = True
     n_kv_head: Optional[int] = None
     head_dim: Optional[int] = None
+    # hashable ('lora_rank', r), ... tuple; None disables LoRA
+    lora_conf: Optional[Tuple] = None
 
     @property
     def d_k(self) -> int:
@@ -98,14 +100,18 @@ class MultiHeadedAttention(nn.Module):
                      self.head_dim * self.n_head)
         inner_kv_dim = (inner_dim if self.n_kv_head is None else
                         self.d_k * self.n_kv_head)
-        self.linear_q = nn.Dense(inner_dim, use_bias=self.query_bias,
-                                 name='linear_q')
-        self.linear_k = nn.Dense(inner_kv_dim, use_bias=self.key_bias,
-                                 name='linear_k')
-        self.linear_v = nn.Dense(inner_kv_dim, use_bias=self.value_bias,
-                                 name='linear_v')
-        self.linear_out = nn.Dense(self.n_feat, use_bias=self.query_bias,
-                                   name='linear_out')
+        from wenet_tpu.models.finetune.lora import make_attention_dense
+        conf = dict(self.lora_conf) if self.lora_conf else None
+        self.linear_q = make_attention_dense(inner_dim, self.query_bias,
+                                             'linear_q', 'q', conf)
+        self.linear_k = make_attention_dense(inner_kv_dim, self.key_bias,
+                                             'linear_k', 'k', conf)
+        self.linear_v = make_attention_dense(inner_kv_dim,
+                                             self.value_bias,
+                                             'linear_v', 'v', conf)
+        self.linear_out = make_attention_dense(self.n_feat,
+                                               self.query_bias,
+                                               'linear_out', 'o', conf)
 
     # -- projections ------------------------------------------------------
     def project_q(self, x: jax.Array) -> jax.Array:

@@ -47,6 +47,7 @@ class TransformerDecoder(nn.Module):
     norm_eps: float = 1e-5
     n_kv_head: Optional[int] = None
     head_dim: Optional[int] = None
+    lora_conf: Optional[Tuple] = None
     mlp_type: str = 'position_wise_feed_forward'
     mlp_bias: bool = True
     n_expert: int = 8
@@ -100,6 +101,7 @@ class TransformerDecoder(nn.Module):
                 src_key_bias=self.src_key_bias,
                 src_value_bias=self.src_value_bias,
                 n_kv_head=self.n_kv_head, head_dim=self.head_dim,
+                lora_conf=self.lora_conf,
             ) for _ in range(self.num_blocks)
         ]
 
@@ -208,6 +210,7 @@ class BiTransformerDecoder(nn.Module):
     norm_eps: float = 1e-5
     n_kv_head: Optional[int] = None
     head_dim: Optional[int] = None
+    lora_conf: Optional[Tuple] = None
     mlp_type: str = 'position_wise_feed_forward'
     mlp_bias: bool = True
     n_expert: int = 8
@@ -238,6 +241,7 @@ class BiTransformerDecoder(nn.Module):
             mlp_type=self.mlp_type, mlp_bias=self.mlp_bias,
             n_expert=self.n_expert,
             n_expert_activated=self.n_expert_activated,
+            lora_conf=self.lora_conf,
         )
 
     def setup(self):

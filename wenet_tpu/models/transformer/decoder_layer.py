@@ -42,6 +42,7 @@ class DecoderLayer(nn.Module):
     src_value_bias: bool = True
     n_kv_head: Optional[int] = None
     head_dim: Optional[int] = None
+    lora_conf: Optional[Tuple] = None
 
     def setup(self):
         self.self_attn = MultiHeadedAttention(
@@ -49,14 +50,16 @@ class DecoderLayer(nn.Module):
             dropout_rate=self.self_attention_dropout_rate,
             query_bias=self.query_bias, key_bias=self.key_bias,
             value_bias=self.value_bias, n_kv_head=self.n_kv_head,
-            head_dim=self.head_dim, name='self_attn')
+            head_dim=self.head_dim, lora_conf=self.lora_conf,
+            name='self_attn')
         if self.src_attention:
             self.src_attn = MultiHeadedCrossAttention(
                 n_head=self.attention_heads, n_feat=self.size,
                 dropout_rate=self.src_attention_dropout_rate,
                 query_bias=self.src_query_bias, key_bias=self.src_key_bias,
                 value_bias=self.src_value_bias, n_kv_head=self.n_kv_head,
-                head_dim=self.head_dim, name='src_attn')
+                head_dim=self.head_dim, lora_conf=self.lora_conf,
+                name='src_attn')
         mlp_kwargs = dict(idim=self.size, hidden_units=self.linear_units,
                           dropout_rate=self.dropout_rate,
                           activation=self.activation_type,

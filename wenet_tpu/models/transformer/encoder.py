@@ -88,6 +88,7 @@ class BaseEncoder(nn.Module):
     activation_type: str = 'relu'
     n_kv_head: Optional[int] = None
     head_dim: Optional[int] = None
+    lora_conf: Optional[Tuple] = None
     mlp_type: str = 'position_wise_feed_forward'
     mlp_bias: bool = True
     n_expert: int = 8
@@ -266,7 +267,7 @@ class TransformerEncoder(BaseEncoder):
                 n_expert_activated=self.n_expert_activated,
                 query_bias=self.query_bias, key_bias=self.key_bias,
                 value_bias=self.value_bias, n_kv_head=self.n_kv_head,
-                head_dim=self.head_dim,
+                head_dim=self.head_dim, lora_conf=self.lora_conf,
             ) for _ in range(self.num_blocks)
         ]
 
@@ -320,6 +321,6 @@ class ConformerEncoder(BaseEncoder):
                 n_expert_activated=self.n_expert_activated,
                 query_bias=self.query_bias, key_bias=self.key_bias,
                 value_bias=self.value_bias, n_kv_head=self.n_kv_head,
-                head_dim=self.head_dim,
+                head_dim=self.head_dim, lora_conf=self.lora_conf,
             ) for _ in range(self.num_blocks)
         ]

@@ -34,6 +34,7 @@ class TransformerEncoderLayer(nn.Module):
     value_bias: bool = True
     n_kv_head: Optional[int] = None
     head_dim: Optional[int] = None
+    lora_conf: Optional[Tuple] = None
     rms_norm_offset: bool = True
 
     def setup(self):
@@ -42,7 +43,8 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=self.attention_dropout_rate,
             query_bias=self.query_bias, key_bias=self.key_bias,
             value_bias=self.value_bias, n_kv_head=self.n_kv_head,
-            head_dim=self.head_dim, name='self_attn')
+            head_dim=self.head_dim, lora_conf=self.lora_conf,
+            name='self_attn')
         mlp_kwargs = dict(idim=self.size, hidden_units=self.linear_units,
                           dropout_rate=self.dropout_rate,
                           activation=self.activation_type,
@@ -110,6 +112,7 @@ class ConformerEncoderLayer(nn.Module):
     value_bias: bool = True
     n_kv_head: Optional[int] = None
     head_dim: Optional[int] = None
+    lora_conf: Optional[Tuple] = None
 
     def setup(self):
         self.self_attn = ATTENTION_CLASSES[self.selfattention_layer_type](
@@ -117,7 +120,8 @@ class ConformerEncoderLayer(nn.Module):
             dropout_rate=self.attention_dropout_rate,
             query_bias=self.query_bias, key_bias=self.key_bias,
             value_bias=self.value_bias, n_kv_head=self.n_kv_head,
-            head_dim=self.head_dim, name='self_attn')
+            head_dim=self.head_dim, lora_conf=self.lora_conf,
+            name='self_attn')
         mlp_kwargs = dict(idim=self.size, hidden_units=self.linear_units,
                           dropout_rate=self.dropout_rate,
                           activation=self.activation_type,

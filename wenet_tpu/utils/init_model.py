@@ -26,6 +26,7 @@ from wenet_tpu.models.transducer.predictor import (ConvPredictor,
                                                    RNNPredictor)
 from wenet_tpu.models.transducer.transducer import Transducer
 from wenet_tpu.models.branchformer.encoder import BranchformerEncoder
+from wenet_tpu.models.ctl_model.asr_model_ctl import CTLModel
 from wenet_tpu.models.e_branchformer.encoder import EBranchformerEncoder
 from wenet_tpu.models.efficient_conformer.encoder import (
     EfficientConformerEncoder)
@@ -43,6 +44,8 @@ ENCODER_CLASSES = {
     'e_branchformer': EBranchformerEncoder,
     'squeezeformer': SqueezeformerEncoder,
     'efficientConformer': EfficientConformerEncoder,
+    'dual_transformer': TransformerEncoder,
+    'dual_conformer': ConformerEncoder,
 }
 
 DECODER_CLASSES = {
@@ -60,6 +63,7 @@ MODEL_CLASSES = {
     'whisper': Whisper,
     'transducer': Transducer,
     'paraformer': Paraformer,
+    'ctl_model': CTLModel,
 }
 
 PREDICTOR_CLASSES: Dict[str, Any] = {
@@ -104,7 +108,31 @@ def _filter_conf(conf: dict, cls, drop) -> dict:
 def init_model(args, configs) -> Tuple[Any, dict]:
     """Build the (unbound) model module from a wenet-style config.
 
-    ref: init_model.py:100-217."""
+    ref: init_model.py:100-217.  When args.use_lora (or configs has a
+    lora_conf with use_lora), attention projections are built as
+    LoRADense (ref init_model.py:190-191 inject_lora_to_model)."""
+    lora_conf = None
+    if getattr(args, 'use_lora', False) or \
+            configs.get('lora_conf', {}).get('use_lora', False):
+        lc = configs.get('lora_conf', {})
+        lora_conf = {
+            'lora_rank': lc.get('lora_rank', 8),
+            'lora_alpha': lc.get('lora_alpha', 8),
+            'lora_dropout': lc.get('lora_dropout', 0.0),
+            'lora_list': tuple(lc.get('lora_list',
+                                      ['o', 'q', 'k', 'v'])),
+        }
+    if lora_conf is not None:
+        # attention projections become LoRADense via the lora_conf field
+        # (linen setup() is lazy, so the conf must travel in the module)
+        packed = tuple(sorted(lora_conf.items()))
+        configs.setdefault('encoder_conf', {})['lora_conf'] = packed
+        if configs.get('lora_conf', {}).get('lora_decoder', False):
+            configs.setdefault('decoder_conf', {})['lora_conf'] = packed
+    return _init_model_inner(args, configs)
+
+
+def _init_model_inner(args, configs) -> Tuple[Any, dict]:
     input_dim = configs['input_dim']
     vocab_size = configs['output_dim']
 
