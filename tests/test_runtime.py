@@ -1,0 +1,128 @@
+"""Serving runtime tests: endpoint rules, feature pipeline residuals,
+streaming AsrDecoder, websocket server round trip."""
+
+import asyncio
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from wenet_tpu.runtime.endpoint import CtcEndpoint, CtcEndpointConfig
+from wenet_tpu.runtime.feature_pipeline import FeaturePipeline
+from wenet_tpu.ops.fbank import compute_fbank_np
+
+
+def test_endpoint_rules():
+    ep = CtcEndpoint(CtcEndpointConfig(), frame_shift_in_ms=40)
+    V = 5
+    blank_frames = np.log(np.full((30, V), 1e-6))
+    blank_frames[:, 0] = np.log(0.95)
+    # rule2: 1000ms trailing silence after decoding => 25 frames @40ms
+    assert not ep.is_endpoint(blank_frames[:20], decoded_something=True)
+    assert ep.is_endpoint(blank_frames[:10], decoded_something=True)
+    # rule1 needs 5000ms when nothing decoded
+    ep.reset()
+    assert not ep.is_endpoint(blank_frames, decoded_something=False)
+    frames_5s = np.tile(blank_frames, (5, 1))[:125]
+    assert ep.is_endpoint(frames_5s, decoded_something=False)
+
+
+def test_feature_pipeline_incremental_equals_batch():
+    rng = np.random.RandomState(0)
+    wav = (0.2 * rng.randn(16000)).astype(np.float32)
+    full = compute_fbank_np(wav * (1 << 15), num_mel_bins=40,
+                            sample_rate=16000)
+    fp = FeaturePipeline()
+    fp.config.num_mel_bins = 40
+    chunks = []
+    for i in range(0, len(wav), 1600):
+        f = fp.accept_waveform(wav[i:i + 1600])
+        if f.shape[0]:
+            chunks.append(f)
+    inc = np.concatenate(chunks)
+    n = min(len(full), len(inc))
+    np.testing.assert_allclose(inc[:n], full[:n], atol=1e-4)
+
+
+@pytest.fixture(scope='module')
+def streaming_model():
+    from wenet_tpu.text.char_tokenizer import CharTokenizer
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    syms = {'<blank>': 0, '<unk>': 1}
+    for i, ch in enumerate('abcdefgh'):
+        syms[ch] = i + 2
+    syms['<sos/eos>'] = len(syms)
+    configs = {
+        'input_dim': 80, 'output_dim': len(syms),
+        'encoder': 'conformer',
+        'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                         'linear_units': 64, 'num_blocks': 2,
+                         'cnn_module_kernel': 7, 'causal': True,
+                         'use_dynamic_chunk': True,
+                         'cnn_module_norm': 'layer_norm'},
+        'decoder': 'bitransformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 64,
+                         'num_blocks': 1, 'r_num_blocks': 1},
+        'model_conf': {'ctc_weight': 0.3, 'reverse_weight': 0.3},
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    tokenizer = CharTokenizer(syms)
+    return model, variables, tokenizer
+
+
+def test_asr_decoder_streaming(streaming_model):
+    from wenet_tpu.runtime.asr_decoder import (AsrDecoder, DecodeOptions,
+                                               DecodeState)
+    model, variables, tokenizer = streaming_model
+    dec = AsrDecoder(model, variables, tokenizer,
+                     DecodeOptions(chunk_size=4, num_left_chunks=2,
+                                   beam_size=3))
+    rng = np.random.RandomState(0)
+    wav = (0.2 * rng.randn(16000)).astype(np.float32)
+    for i in range(0, len(wav), 3200):
+        dec.accept_waveform(wav[i:i + 3200])
+        dec.decode()
+    dec.set_input_finished()
+    state = dec.decode()
+    dec.rescoring()
+    assert dec.result
+    assert isinstance(dec.result[0].sentence, str)
+
+
+def test_websocket_roundtrip(streaming_model):
+    websockets = pytest.importorskip('websockets')
+    from wenet_tpu.runtime.asr_decoder import AsrDecoder, DecodeOptions
+    from wenet_tpu.runtime.websocket.client import transcribe_streaming
+    from wenet_tpu.runtime.websocket.server import ConnectionHandler
+
+    model, variables, tokenizer = streaming_model
+
+    def factory():
+        return AsrDecoder(model, variables, tokenizer,
+                          DecodeOptions(chunk_size=4, num_left_chunks=2,
+                                        beam_size=3))
+
+    async def run():
+        async def handle(ws):
+            await ConnectionHandler(ws, factory).run()
+
+        async with websockets.serve(handle, '127.0.0.1', 0) as server:
+            port = server.sockets[0].getsockname()[1]
+            rng = np.random.RandomState(0)
+            wav = (0.2 * rng.randn(12000)).astype(np.float32)
+            msgs = await transcribe_streaming(
+                f'ws://127.0.0.1:{port}', wav, chunk_ms=200)
+            return msgs
+
+    msgs = asyncio.run(run())
+    types = [m.get('type') for m in msgs]
+    assert types[0] == 'server_ready'
+    assert 'final_result' in types
+    assert types[-1] == 'speech_end'
+    final = [m for m in msgs if m.get('type') == 'final_result'][-1]
+    nbest = json.loads(final['nbest'])
+    assert isinstance(nbest, list) and 'sentence' in nbest[0]
