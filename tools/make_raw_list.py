@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""wav.scp + text -> json-lines data.list. ref: tools/make_raw_list.py."""
+
+import argparse
+import json
+
+
+def main():
+    parser = argparse.ArgumentParser(description='make raw list')
+    parser.add_argument('--segments', default=None)
+    parser.add_argument('wav_file')
+    parser.add_argument('text_file')
+    parser.add_argument('output_file')
+    args = parser.parse_args()
+
+    wav_table = {}
+    with open(args.wav_file, encoding='utf8') as f:
+        for line in f:
+            arr = line.strip().split()
+            if len(arr) == 2:
+                wav_table[arr[0]] = arr[1]
+
+    segments = None
+    if args.segments is not None:
+        segments = []
+        with open(args.segments, encoding='utf8') as f:
+            for line in f:
+                arr = line.strip().split()
+                segments.append((arr[0], arr[1], float(arr[2]),
+                                 float(arr[3])))
+
+    with open(args.text_file, encoding='utf8') as fin, \
+            open(args.output_file, 'w', encoding='utf8') as fout:
+        texts = {}
+        for line in fin:
+            arr = line.strip().split(maxsplit=1)
+            texts[arr[0]] = arr[1] if len(arr) > 1 else ''
+        if segments is None:
+            for key, txt in texts.items():
+                if key not in wav_table:
+                    continue
+                fout.write(json.dumps(
+                    {'key': key, 'wav': wav_table[key], 'txt': txt},
+                    ensure_ascii=False) + '\n')
+        else:
+            for key, wav_key, start, end in segments:
+                if key not in texts or wav_key not in wav_table:
+                    continue
+                fout.write(json.dumps(
+                    {'key': key, 'wav': wav_table[wav_key],
+                     'txt': texts[key], 'start': start, 'end': end},
+                    ensure_ascii=False) + '\n')
+
+
+if __name__ == '__main__':
+    main()
