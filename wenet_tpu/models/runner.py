@@ -111,8 +111,10 @@ class AsrRunner:
             feats, feats_lengths, decoding_chunk_size,
             num_decoding_left_chunks, simulate_streaming)
         encoder_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1)
-        ctc_probs = self.ctc_logprobs(encoder_out, blank_penalty,
-                                      blank_id)
+        needs_ctc = any(m.startswith('ctc_') or m == 'attention_rescoring'
+                        for m in methods)
+        ctc_probs = (self.ctc_logprobs(encoder_out, blank_penalty,
+                                       blank_id) if needs_ctc else None)
         results: Dict[str, List[DecodeResult]] = {}
         if 'attention' in methods:
             results['attention'] = attention_beam_search(

@@ -64,6 +64,11 @@ class ASRModel(nn.Module):
 
         loss_ctc = None
         ctc_probs = None
+        if self.ctc is not None and self.is_initializing() and \
+                self.ctc_weight == 0.0:
+            # touch ctc params so AR-only models (whisper/firered) can
+            # still serve ctc_activation after init
+            _ = self.ctc.log_softmax(encoder_out[:, :1])
         if self.ctc_weight != 0.0 and self.ctc is not None:
             loss_ctc, ctc_probs = self.ctc(encoder_out, encoder_out_lens,
                                            target, target_lengths,

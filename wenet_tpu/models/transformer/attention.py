@@ -388,3 +388,9 @@ ATTENTION_CLASSES = {
     'shaw_rel_selfattn': ShawRelPositionMultiHeadedAttention,
     'rope_abs_selfattn': RopeMultiHeadedAttention,
 }
+
+
+def _register_extra_attention():
+    # lazy: firered attention lives in its model package
+    from wenet_tpu.models.firered.model import FireRedRelPosAttention
+    ATTENTION_CLASSES['firered_rel_selfattn'] = FireRedRelPosAttention

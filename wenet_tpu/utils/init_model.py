@@ -27,6 +27,10 @@ from wenet_tpu.models.transducer.predictor import (ConvPredictor,
 from wenet_tpu.models.transducer.transducer import Transducer
 from wenet_tpu.models.branchformer.encoder import BranchformerEncoder
 from wenet_tpu.models.ctl_model.asr_model_ctl import CTLModel
+from wenet_tpu.models.firered.model import (FireRedConformerEncoder,
+                                            FireRedModel)
+from wenet_tpu.models.sensevoice.sensevoice_small_model import (
+    SanmEncoderWithTp, SenseVoiceSmall)
 from wenet_tpu.models.e_branchformer.encoder import EBranchformerEncoder
 from wenet_tpu.models.efficient_conformer.encoder import (
     EfficientConformerEncoder)
@@ -46,6 +50,8 @@ ENCODER_CLASSES = {
     'efficientConformer': EfficientConformerEncoder,
     'dual_transformer': TransformerEncoder,
     'dual_conformer': ConformerEncoder,
+    'sanm_encoder_with_tp': SanmEncoderWithTp,
+    'firered_conformer': FireRedConformerEncoder,
 }
 
 DECODER_CLASSES = {
@@ -64,6 +70,8 @@ MODEL_CLASSES = {
     'transducer': Transducer,
     'paraformer': Paraformer,
     'ctl_model': CTLModel,
+    'sensevoice_small': SenseVoiceSmall,
+    'firered': FireRedModel,
 }
 
 PREDICTOR_CLASSES: Dict[str, Any] = {
