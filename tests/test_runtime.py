@@ -126,3 +126,28 @@ def test_websocket_roundtrip(streaming_model):
     final = [m for m in msgs if m.get('type') == 'final_result'][-1]
     nbest = json.loads(final['nbest'])
     assert isinstance(nbest, list) and 'sentence' in nbest[0]
+
+
+def test_native_beam_matches_python():
+    from wenet_tpu.runtime.ctc_prefix_beam_search import (
+        CtcPrefixBeamSearch)
+    from wenet_tpu.runtime import native_beam
+    if not native_beam.available():
+        pytest.skip('libctc_beam.so not built')
+    rng = np.random.RandomState(3)
+    T, V, K = 40, 20, 6
+    x = rng.randn(T, V).astype(np.float32)
+    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    py = CtcPrefixBeamSearch(K)
+    cc = native_beam.NativeCtcPrefixBeamSearch(K)
+    # feed in two chunks to exercise statefulness
+    for lo, hi in ((0, 17), (17, T)):
+        py.search(logp[lo:hi])
+        cc.search(logp[lo:hi])
+    assert py.hypotheses[0] == cc.hypotheses[0]
+    np.testing.assert_allclose(py.likelihood[0], cc.likelihood[0],
+                               atol=1e-4)
+    assert py.times[0] == cc.times[0]
+    pyset = {tuple(h) for h in py.hypotheses}
+    ccset = {tuple(h) for h in cc.hypotheses}
+    assert len(pyset & ccset) >= K - 1

@@ -78,9 +78,10 @@ class AsrDecoder:
             right_context=model.encoder.right_context)
         frame_shift_ms = 10 * sub
         self.endpointer = CtcEndpoint(endpoint_config, frame_shift_ms)
-        self.searcher = CtcPrefixBeamSearch(
-            self.opts.beam_size, context_graph=context_graph,
-            blank_id=self.opts.blank_id)
+        from wenet_tpu.runtime.native_beam import make_searcher
+        self.searcher = make_searcher(
+            self.opts.beam_size, blank_id=self.opts.blank_id,
+            context_graph=context_graph)
         self._jitted = {}
         self.reset()
 
