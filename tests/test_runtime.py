@@ -151,3 +151,36 @@ def test_native_beam_matches_python():
     pyset = {tuple(h) for h in py.hypotheses}
     ccset = {tuple(h) for h in cc.hypotheses}
     assert len(pyset & ccset) >= K - 1
+
+
+def test_grpc_roundtrip(streaming_model):
+    grpc = pytest.importorskip('grpc')
+    from wenet_tpu.runtime.asr_decoder import AsrDecoder, DecodeOptions
+    from wenet_tpu.runtime.grpc import wenet_pb2
+    from wenet_tpu.runtime.grpc.server import (make_server,
+                                               recognize_stream)
+
+    model, variables, tokenizer = streaming_model
+
+    def factory():
+        return AsrDecoder(model, variables, tokenizer,
+                          DecodeOptions(chunk_size=4, num_left_chunks=2,
+                                        beam_size=3))
+
+    server = make_server(factory, 0)
+    port = server.add_insecure_port('127.0.0.1:0')
+    server.start()
+    try:
+        rng = np.random.RandomState(0)
+        wav = (0.2 * rng.randn(12000)).astype(np.float32)
+        pcm = np.clip(wav * 32768, -32768, 32767).astype('<i2')
+        chunks = [pcm[i:i + 3200].tobytes()
+                  for i in range(0, len(pcm), 3200)]
+        with grpc.insecure_channel(f'127.0.0.1:{port}') as ch:
+            responses = recognize_stream(ch, chunks)
+        types = [r.type for r in responses]
+        assert types[0] == wenet_pb2.Response.server_ready
+        assert wenet_pb2.Response.final_result in types
+        assert types[-1] == wenet_pb2.Response.speech_end
+    finally:
+        server.stop(0)

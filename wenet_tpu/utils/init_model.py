@@ -27,6 +27,7 @@ from wenet_tpu.models.transducer.predictor import (ConvPredictor,
 from wenet_tpu.models.transducer.transducer import Transducer
 from wenet_tpu.models.branchformer.encoder import BranchformerEncoder
 from wenet_tpu.models.ctl_model.asr_model_ctl import CTLModel
+from wenet_tpu.models.k2.model import K2Model
 from wenet_tpu.models.firered.model import (FireRedConformerEncoder,
                                             FireRedModel)
 from wenet_tpu.models.sensevoice.sensevoice_small_model import (
@@ -72,6 +73,7 @@ MODEL_CLASSES = {
     'ctl_model': CTLModel,
     'sensevoice_small': SenseVoiceSmall,
     'firered': FireRedModel,
+    'k2_model': K2Model,
 }
 
 PREDICTOR_CLASSES: Dict[str, Any] = {
