@@ -1,0 +1,77 @@
+"""Pallas flash attention vs the XLA attention_core golden path.
+
+Runs the kernel in pallas interpret mode (tests are CPU); the same code
+compiles natively on TPU (verified numerics + ~1.7x speedup at whisper
+scale, B8 h8 T1500 d64 bf16)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    monkeypatch.setattr(pl, 'pallas_call',
+                        functools.partial(pl.pallas_call, interpret=True))
+
+
+@pytest.mark.parametrize('B,h,T1,T2,d,use_mask,use_bias', [
+    (2, 4, 100, 100, 64, True, False),
+    (1, 2, 37, 53, 32, True, True),
+    (2, 2, 64, 64, 64, False, False),
+    (1, 1, 130, 257, 64, True, True),
+])
+def test_flash_matches_core(B, h, T1, T2, d, use_mask, use_bias):
+    from wenet_tpu.models.transformer.attention import attention_core
+    from wenet_tpu.ops.flash_attention import flash_attention
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, h, T1, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    mask = None
+    if use_mask:
+        lens = rng.randint(T2 // 2, T2 + 1, size=(B,))
+        mask = jnp.asarray(
+            np.arange(T2)[None, :] < lens[:, None])[:, None, :]
+    bias = (jnp.asarray(rng.randn(1, h, T1, T2) * 0.5, jnp.float32)
+            if use_bias else None)
+    ref = attention_core(
+        q, k, v, mask[:, None] if mask is not None else None, scale, bias)
+    got = flash_attention(q, k, v, mask, bias, scale=scale,
+                          block_q=32, block_k=32)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_fully_masked_rows_zero():
+    from wenet_tpu.ops.flash_attention import flash_attention
+    rng = np.random.RandomState(1)
+    B, h, T, d = 1, 2, 40, 32
+    q = jnp.asarray(rng.randn(B, h, T, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, h, T, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, h, T, d), jnp.float32)
+    mask = jnp.zeros((B, 1, T), bool)  # nothing attendable
+    out = flash_attention(q, k, v, mask, scale=0.1, block_q=16,
+                          block_k=16)
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_dispatch_toggle():
+    from wenet_tpu.models.transformer import attention as A
+    try:
+        A.enable_flash_attention(True, min_len=8)
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(1, 2, 16, 32), jnp.float32)
+        k = jnp.asarray(rng.randn(1, 2, 16, 32), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 2, 16, 32), jnp.float32)
+        flashed = A.attention_core(q, k, v, None, 0.2)
+        A.enable_flash_attention(False)
+        plain = A.attention_core(q, k, v, None, 0.2)
+        np.testing.assert_allclose(flashed, plain, atol=2e-5)
+    finally:
+        A.enable_flash_attention(False, min_len=512)

@@ -31,6 +31,27 @@ def repeat_kv(x: jax.Array, n_repeat: int) -> jax.Array:
     return jnp.repeat(x, n_repeat, axis=1)
 
 
+# Pallas flash-attention dispatch: enabled for long sequences on TPU
+# (whisper 1500-frame encoder, long-form audio); the blockwise kernel
+# avoids materializing (T1, T2) scores in HBM.  Toggle with
+# `enable_flash_attention`.
+_FLASH = {'enabled': False, 'min_len': 512}
+
+
+def enable_flash_attention(enabled: bool = True, min_len: int = 512):
+    _FLASH['enabled'] = enabled
+    _FLASH['min_len'] = min_len
+
+
+def _flash_eligible(q, k) -> bool:
+    if not _FLASH['enabled'] or q.ndim != 4:
+        return False
+    if q.shape[1] != k.shape[1]:  # GQA repeat happens before the core
+        return False
+    return (q.shape[2] >= _FLASH['min_len']
+            and k.shape[2] >= _FLASH['min_len'])
+
+
 def attention_core(q: jax.Array,
                    k: jax.Array,
                    v: jax.Array,
@@ -44,6 +65,9 @@ def attention_core(q: jax.Array,
     bias: additive pre-scale score bias (rel-pos matrix_bd etc.).
     Returns (..., h, T1, d).
     """
+    if _flash_eligible(q, k):
+        from wenet_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, mask, bias, scale=scale)
     scores = jnp.einsum('...qd,...kd->...qk', q, k,
                         preferred_element_type=jnp.float32)
     if bias is not None:

@@ -64,7 +64,11 @@ class AsrDecoder:
                  opts: Optional[DecodeOptions] = None,
                  feature_config: Optional[FeaturePipelineConfig] = None,
                  endpoint_config: Optional[CtcEndpointConfig] = None,
-                 context_graph=None):
+                 context_graph=None, lm=None, lm_weight: float = 0.5,
+                 tlg_fst=None, word_table=None):
+        """lm: ARPA NgramLM for shallow fusion; tlg_fst: TextFst for
+        WFST decoding (mutually exclusive with lm, analog of the
+        reference's with/without-LM split, docs/lm.md)."""
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -78,10 +82,29 @@ class AsrDecoder:
             right_context=model.encoder.right_context)
         frame_shift_ms = 10 * sub
         self.endpointer = CtcEndpoint(endpoint_config, frame_shift_ms)
-        from wenet_tpu.runtime.native_beam import make_searcher
-        self.searcher = make_searcher(
-            self.opts.beam_size, blank_id=self.opts.blank_id,
-            context_graph=context_graph)
+        self.word_table = word_table
+        if tlg_fst is not None:
+            from wenet_tpu.runtime.wfst_beam_search import (
+                CtcWfstBeamSearch)
+            self.searcher = CtcWfstBeamSearch(
+                tlg_fst, word_table=word_table,
+                beam_size=self.opts.beam_size,
+                blank_id=self.opts.blank_id)
+        elif lm is not None:
+            from wenet_tpu.runtime.ctc_prefix_beam_search import (
+                CtcPrefixBeamSearch)
+            self.searcher = CtcPrefixBeamSearch(
+                self.opts.beam_size, blank_id=self.opts.blank_id,
+                context_graph=context_graph, lm=lm, lm_weight=lm_weight,
+                symbol_table={v: k
+                              for k, v in tokenizer.symbol_table.items()}
+                if hasattr(tokenizer, 'symbol_table') else None)
+        else:
+            from wenet_tpu.runtime.native_beam import make_searcher
+            self.searcher = make_searcher(
+                self.opts.beam_size, blank_id=self.opts.blank_id,
+                context_graph=context_graph)
+        self.is_wfst = tlg_fst is not None
         self._jitted = {}
         self.reset()
 
@@ -207,8 +230,13 @@ class AsrDecoder:
         results = []
         for i, hyp in enumerate(hyps):
             r = DecodeResult(score=likelihood[i])
-            text, tokens = self.tokenizer.detokenize(
-                [int(t) for t in hyp])
+            if self.is_wfst:
+                tokens = [(self.word_table or {}).get(int(w), str(w))
+                          for w in hyp]
+                text = ''.join(tokens)
+            else:
+                text, tokens = self.tokenizer.detokenize(
+                    [int(t) for t in hyp])
             r.sentence = text
             if finish and i < len(times):
                 for w, t in zip(tokens, times[i]):
@@ -222,6 +250,8 @@ class AsrDecoder:
         """Finalize + attention rescoring. ref: asr_decoder.cc:217-243."""
         self.searcher.finalize_search()
         self._update_result(finish=True)
+        if self.is_wfst:
+            return  # WFST hyps are word ids; attention rescoring N/A
         if not self.encoder_outs or self.model.decoder is None:
             return
         hyps = self.searcher.hypotheses

@@ -20,11 +20,20 @@ class CtcPrefixBeamSearch:
 
     def __init__(self, opts_beam_size: int = 10,
                  first_beam_size: Optional[int] = None,
-                 context_graph=None, blank_id: int = 0):
+                 context_graph=None, blank_id: int = 0,
+                 lm=None, lm_weight: float = 0.5,
+                 symbol_table=None):
+        """lm: optional `wenet_tpu.lm.arpa.NgramLM` for token-level
+        shallow fusion (TPU-native replacement for the reference's TLG
+        G composition, docs/lm.md); symbol_table maps token id -> LM
+        word (char models: tokens ARE words)."""
         self.beam_size = opts_beam_size
         self.first_beam_size = first_beam_size or opts_beam_size
         self.context_graph = context_graph
         self.blank_id = blank_id
+        self.lm = lm
+        self.lm_weight = lm_weight
+        self.symbol_table = symbol_table or {}
         self.reset()
 
     def reset(self):
@@ -34,6 +43,24 @@ class CtcPrefixBeamSearch:
                           _PrefixScore(s=0.0, ns=-float('inf'), v_s=0.0,
                                        v_ns=0.0, context_state=root))]
         self.abs_time_step = 0
+        self._lm_cache = {tuple(): (0.0, self.lm.start_state()
+                                    if self.lm else None)}
+
+    def _lm_score(self, prefix: tuple) -> float:
+        """Cumulative fused LM score of `prefix` (lazily extended —
+        each new prefix differs from a cached ancestor by one token)."""
+        if self.lm is None:
+            return 0.0
+        cached = self._lm_cache.get(prefix)
+        if cached is None:
+            base = self._lm_score(prefix[:-1])  # fills parent entry
+            state = self._lm_cache[prefix[:-1]][1]
+            sym = self.symbol_table.get(int(prefix[-1]),
+                                        str(int(prefix[-1])))
+            delta, nstate = self.lm.advance(state, sym)
+            cached = (base + delta, nstate)
+            self._lm_cache[prefix] = cached
+        return cached[0]
 
     def search(self, ctc_log_probs: np.ndarray):
         """Advance over (T, V) new frames. ref: ctc_prefix_beam_search.cc."""
@@ -93,13 +120,26 @@ class CtcPrefixBeamSearch:
                         if self.context_graph and not nxt.has_context:
                             nxt.update_context(self.context_graph, ps, u)
                             nxt.has_context = True
-            self.cur_hyps = sorted(next_hyps.items(),
-                                   key=lambda x: x[1].total_score(),
-                                   reverse=True)[:self.beam_size]
+            self.cur_hyps = sorted(
+                next_hyps.items(),
+                key=lambda x: (x[1].total_score() +
+                               self.lm_weight * self._lm_score(x[0])),
+                reverse=True)[:self.beam_size]
             self.abs_time_step += 1
 
     def finalize_search(self):
-        """Backoff context scores at utterance end. ref: .cc FinalizeSearch."""
+        """Backoff context scores at utterance end; add LM </s>.
+        ref: .cc FinalizeSearch."""
+        if self.lm is not None:
+            for prefix, ps in self.cur_hyps:
+                self._lm_score(prefix)  # ensure cached
+                score, state = self._lm_cache[prefix]
+                self._lm_cache[prefix] = (score + self.lm.final(state),
+                                          state)
+            self.cur_hyps.sort(
+                key=lambda x: (x[1].total_score() +
+                               self.lm_weight * self._lm_score(x[0])),
+                reverse=True)
         if self.context_graph is None:
             return
         for i, (prefix, ps) in enumerate(self.cur_hyps):
@@ -114,7 +154,9 @@ class CtcPrefixBeamSearch:
 
     @property
     def likelihood(self) -> List[float]:
-        return [ps.total_score() for _, ps in self.cur_hyps]
+        return [ps.total_score() +
+                self.lm_weight * self._lm_score(p)
+                for p, ps in self.cur_hyps]
 
     @property
     def viterbi_likelihood(self) -> List[float]:
