@@ -184,3 +184,63 @@ def test_grpc_roundtrip(streaming_model):
         assert types[-1] == wenet_pb2.Response.speech_end
     finally:
         server.stop(0)
+
+
+def test_post_processor():
+    from wenet_tpu.runtime.post_processor import (LanguageType,
+                                                  PostProcessOptions,
+                                                  PostProcessor)
+    pp = PostProcessor()
+    # mandarin spaces dropped, english words keep single space
+    assert pp.process('你 好 HELLO WORLD 吗') == '你好hello world吗'
+    # bpe space symbol -> real space, squeeze, strip
+    assert pp.process('▁hi▁▁there▁') == 'hi there'
+    # symbol removal
+    assert pp.process('你<unk> 好<context>x</context>') == '你好x'
+    pp2 = PostProcessor(PostProcessOptions(
+        language_type=LanguageType.INDO_EUROPEAN, lowercase=False))
+    assert pp2.process('GUTEN▁MORGEN wie') == 'GUTEN MORGEN wie'
+    import pytest as _pytest
+    with _pytest.raises(ImportError):
+        PostProcessor(PostProcessOptions(itn=True))
+
+
+def test_http_roundtrip(streaming_model):
+    import io as _io
+    import struct
+    import threading
+    import urllib.request
+    from wenet_tpu.bin.http_server_main import make_server
+    from wenet_tpu.runtime.asr_decoder import AsrDecoder, DecodeOptions
+
+    model, variables, tokenizer = streaming_model
+
+    def factory():
+        return AsrDecoder(model, variables, tokenizer,
+                          DecodeOptions(chunk_size=4, num_left_chunks=2,
+                                        beam_size=3))
+
+    server = make_server(factory, 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.RandomState(0)
+        wav = (0.2 * rng.randn(12000)).astype(np.float32)
+        pcm = np.clip(wav * 32768, -32768, 32767).astype('<i2')
+        data = pcm.tobytes()
+        buf = _io.BytesIO()
+        buf.write(b'RIFF' + struct.pack('<I', 36 + len(data)) + b'WAVE')
+        buf.write(b'fmt ' + struct.pack('<IHHIIHH', 16, 1, 1, 16000,
+                                        32000, 2, 16))
+        buf.write(b'data' + struct.pack('<I', len(data)) + data)
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/recognize', data=buf.getvalue(),
+            headers={'Content-Type': 'audio/wav'})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            body = json.loads(resp.read())
+        assert body['type'] == 'final_result'
+        assert isinstance(body['nbest'], list)
+        assert 'sentence' in body['nbest'][0]
+    finally:
+        server.shutdown()

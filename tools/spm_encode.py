@@ -1,0 +1,28 @@
+#!/usr/bin/env python3
+"""sentencepiece encoding wrapper (analog of ref tools/spm_encode).
+
+Reads lines on stdin, writes encoded pieces/ids on stdout."""
+import argparse
+import sys
+
+import sentencepiece as spm
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--model', required=True)
+    p.add_argument('--output_format', choices=['piece', 'id'],
+                   default='piece')
+    args = p.parse_args()
+    sp = spm.SentencePieceProcessor()
+    sp.Load(args.model)
+    for line in sys.stdin:
+        if args.output_format == 'piece':
+            out = sp.EncodeAsPieces(line.strip())
+        else:
+            out = map(str, sp.EncodeAsIds(line.strip()))
+        sys.stdout.write(' '.join(out) + '\n')
+
+
+if __name__ == '__main__':
+    main()

@@ -65,7 +65,7 @@ class AsrDecoder:
                  feature_config: Optional[FeaturePipelineConfig] = None,
                  endpoint_config: Optional[CtcEndpointConfig] = None,
                  context_graph=None, lm=None, lm_weight: float = 0.5,
-                 tlg_fst=None, word_table=None):
+                 tlg_fst=None, word_table=None, post_processor=None):
         """lm: ARPA NgramLM for shallow fusion; tlg_fst: TextFst for
         WFST decoding (mutually exclusive with lm, analog of the
         reference's with/without-LM split, docs/lm.md)."""
@@ -83,6 +83,7 @@ class AsrDecoder:
         frame_shift_ms = 10 * sub
         self.endpointer = CtcEndpoint(endpoint_config, frame_shift_ms)
         self.word_table = word_table
+        self.post_processor = post_processor
         if tlg_fst is not None:
             from wenet_tpu.runtime.wfst_beam_search import (
                 CtcWfstBeamSearch)
@@ -237,6 +238,8 @@ class AsrDecoder:
             else:
                 text, tokens = self.tokenizer.detokenize(
                     [int(t) for t in hyp])
+            if self.post_processor is not None:
+                text = self.post_processor.process(text, finish)
             r.sentence = text
             if finish and i < len(times):
                 for w, t in zip(tokens, times[i]):
@@ -273,6 +276,8 @@ class AsrDecoder:
         best = rescored[0]
         text, tokens = self.tokenizer.detokenize(
             [int(t) for t in best.tokens])
+        if self.post_processor is not None:
+            text = self.post_processor.process(text, True)
         r = DecodeResult(sentence=text, score=best.score)
         if best.times:
             fs = self.endpointer.frame_shift_in_ms
