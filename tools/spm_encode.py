@@ -5,7 +5,13 @@ Reads lines on stdin, writes encoded pieces/ids on stdout."""
 import argparse
 import sys
 
-import sentencepiece as spm
+try:
+    import sentencepiece as spm
+except ImportError as e:
+    raise SystemExit('sentencepiece is required for BPE training/'
+                     'encoding (pip install sentencepiece); the BPE '
+                     'tokenizer in wenet_tpu/text also accepts a '
+                     'pre-built units file without it') from e
 
 
 def main():
