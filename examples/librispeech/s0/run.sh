@@ -1,0 +1,86 @@
+#!/usr/bin/env bash
+# LibriSpeech recipe (wenet_tpu). Mirror of ref examples/librispeech/s0/run.sh.
+# BPE english flow: spm train/encode -> lists -> train -> decode -> WER.
+set -eo pipefail
+
+stage=0
+stop_stage=5
+data=/export/data/LibriSpeech
+data_type=raw
+train_set=train_960
+dev_set=dev
+test_sets="test_clean test_other"
+train_config=conf/train_conformer_bpe.yaml
+dir=exp/conformer_bpe
+bpe_size=5000
+average_num=30
+decode_modes="ctc_greedy_search ctc_prefix_beam_search attention attention_rescoring"
+
+. ../../aishell/s0/tools/parse_options.sh 2>/dev/null || true
+
+if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
+  echo "stage 0: expects kaldi-style data/{set}/wav.scp,text"
+  for x in ${train_set} ${dev_set} ${test_sets}; do
+    [ -f data/$x/wav.scp ] || { echo "missing data/$x/wav.scp"; exit 1; }
+  done
+fi
+
+if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
+  echo "stage 1: global cmvn"
+  python ../../../tools/compute_cmvn_stats.py --num_workers 8 \
+    --train_config $train_config \
+    --in_scp data/${train_set}/wav.scp \
+    --out_cmvn data/${train_set}/global_cmvn
+fi
+
+if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
+  echo "stage 2: train BPE model + units"
+  mkdir -p data/lang_char
+  cut -f 2- -d" " data/${train_set}/text > data/lang_char/input.txt
+  python ../../../tools/spm_train.py --input=data/lang_char/input.txt \
+    --vocab_size=${bpe_size} --model_type=unigram \
+    --model_prefix=data/lang_char/train_960_unigram${bpe_size} \
+    --input_sentence_size=100000000
+  python ../../../tools/spm_encode.py \
+    --model=data/lang_char/train_960_unigram${bpe_size}.model \
+    --output_format=piece < data/lang_char/input.txt | tr ' ' '\n' | \
+    sort | uniq | awk '{print $0 " " NR+1}' \
+    > data/lang_char/units_tmp.txt
+  { echo "<blank> 0"; echo "<unk> 1"; cat data/lang_char/units_tmp.txt; \
+    echo "<sos/eos> $(( $(wc -l < data/lang_char/units_tmp.txt) + 2 ))"; } \
+    > data/lang_char/train_960_unigram${bpe_size}_units.txt
+fi
+
+if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
+  echo "stage 3: data lists"
+  for x in ${train_set} ${dev_set} ${test_sets}; do
+    python ../../../tools/make_raw_list.py data/$x/wav.scp data/$x/text \
+      data/$x/data.list
+  done
+fi
+
+if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
+  echo "stage 4: train"
+  mkdir -p $dir
+  python -m wenet_tpu.bin.train --config $train_config \
+    --data_type $data_type \
+    --train_data data/${train_set}/data.list \
+    --cv_data data/${dev_set}/data.list \
+    --model_dir $dir --mesh "data=-1"
+fi
+
+if [ ${stage} -le 5 ] && [ ${stop_stage} -ge 5 ]; then
+  echo "stage 5: average + decode + WER"
+  python -m wenet_tpu.bin.average_model --dst_model $dir/avg_${average_num} \
+    --src_path $dir --num ${average_num} --val_best
+  for t in ${test_sets}; do
+    python -m wenet_tpu.bin.recognize --config $dir/train.yaml \
+      --checkpoint $dir/avg_${average_num} \
+      --test_data data/$t/data.list \
+      --modes ${decode_modes} --result_dir $dir/$t
+    for mode in ${decode_modes}; do
+      python ../../../tools/compute_wer.py --char 0 data/$t/text \
+        $dir/$t/$mode/text > $dir/$t/$mode/wer
+    done
+  done
+fi

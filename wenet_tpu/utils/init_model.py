@@ -179,6 +179,13 @@ def _init_model_inner(args, configs) -> Tuple[Any, dict]:
 
     special_tokens = configs.get('tokenizer_conf',
                                  {}).get('special_tokens', None)
+    if special_tokens is None and model_type == 'whisper':
+        # the whisper tokenizer's special ids are implied by vocab
+        # layout (ref train_utils.py check_modify_and_save_config
+        # injects them from the tokenizer; here derived directly)
+        from wenet_tpu.models.whisper.convert import (
+            default_special_tokens)
+        special_tokens = default_special_tokens(vocab_size)
     model_conf = dict(configs.get('model_conf', {}))
     if model_type in SSL_MODEL_CLASSES:
         # ref: wenet/models/ssl/init_model.py:12-19
