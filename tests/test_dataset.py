@@ -121,3 +121,43 @@ def test_shard_partition(data_dir):
     k1 = [k for b in ds1 for k in b['keys']]
     assert set(k0).isdisjoint(k1)
     assert len(k0) + len(k1) == 6
+
+
+def test_kaldi_io_roundtrip(tmp_path):
+    from wenet_tpu.dataset import kaldi_io
+    rng = np.random.RandomState(0)
+    mats = {'utt1': rng.randn(7, 13).astype(np.float32),
+            'utt2': rng.randn(3, 13).astype(np.float32)}
+    ark = str(tmp_path / 'feats.ark')
+    scp = str(tmp_path / 'feats.scp')
+    kaldi_io.write_ark_scp(ark, mats, scp)
+    # ark streaming
+    got = dict(kaldi_io.read_mat_ark(ark))
+    assert set(got) == {'utt1', 'utt2'}
+    np.testing.assert_allclose(got['utt1'], mats['utt1'])
+    # scp random access
+    got2 = dict(kaldi_io.read_mat_scp(scp))
+    np.testing.assert_allclose(got2['utt2'], mats['utt2'])
+    # vectors
+    with open(str(tmp_path / 'v.ark'), 'wb') as f:
+        off = kaldi_io.write_vec_flt(f, mats['utt1'][0], 'v1')
+    v = kaldi_io.read_vec_flt(str(tmp_path / 'v.ark') + f':{off}')
+    np.testing.assert_allclose(v, mats['utt1'][0])
+
+
+def test_wav_distortion():
+    from wenet_tpu.dataset import wav_distortion as wd
+    rng = np.random.RandomState(0)
+    x = (0.5 * rng.randn(1600)).astype(np.float32).clip(-1, 1)
+    y = wd.distort(x, 'max_distortion', {'max_db': -6})
+    assert np.abs(y).max() <= wd.db2amp(-6) + 1e-6
+    y = wd.distort(x, 'quad_distortion')
+    assert y.shape == x.shape and np.abs(y).max() <= 1.0
+    y = wd.distort(x, 'gain_db', {'db': -20})
+    np.testing.assert_allclose(y, np.clip(x * wd.db2amp(-20), -1, 1),
+                               atol=1e-6)
+    y = wd.distort(x, 'jag_distortion', {'point_rate': 0.1})
+    assert (y == 0).sum() >= (x == 0).sum()
+    assert wd.distort(x, 'none') is x
+    s = wd.distort_wav_sample({'wav': x}, 'quad_distortion', rate=1.0)
+    assert s['wav'].shape == x.shape
