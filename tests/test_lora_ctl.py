@@ -91,3 +91,47 @@ def test_ctl_model_loss():
     assert np.isfinite(float(out['loss']))
     assert np.isfinite(float(out['loss_ctl']))
     assert float(out['loss_ctl']) > 0
+
+
+def test_lora_ga_reinit(lora_model=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wenet_tpu.models.finetune.lora import (estimate_gradient,
+                                                reinit_lora)
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    configs = {
+        'input_dim': 80, 'output_dim': 12,
+        'encoder': 'transformer',
+        'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                         'linear_units': 64, 'num_blocks': 1},
+        'decoder': 'transformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 64,
+                         'num_blocks': 1},
+        'model_conf': {'ctc_weight': 0.3},
+        'lora_conf': {'use_lora': True, 'lora_rank': 4,
+                      'lora_alpha': 4, 'lora_list': ['q', 'v']},
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    rng = np.random.RandomState(0)
+    batch = {'feats': jnp.asarray(rng.randn(2, 32, 80), jnp.float32),
+             'feats_lengths': jnp.asarray([32, 28]),
+             'target': jnp.asarray([[2, 3, 4, -1], [5, 6, -1, -1]],
+                                   jnp.int32),
+             'target_lengths': jnp.asarray([3, 2])}
+    grads = estimate_gradient(model, variables, [batch])
+    params2 = reinit_lora(variables['params'], grads,
+                          init_type='gradient', stable_gamma=16.0)
+    # lora_A/B must now be nonzero where reinit happened
+    flat = jax.tree_util.tree_flatten_with_path(params2)[0]
+    n_lora_b = sum(1 for kp, v in flat
+                   if any(getattr(k, 'key', '') == 'lora_B'
+                          for k in kp) and float(jnp.abs(v).max()) > 0)
+    assert n_lora_b > 0
+    # initial function preserved: forward before == after (tol)
+    out1 = model.apply(variables, *batch.values())
+    out2 = model.apply({**variables, 'params': params2},
+                       *batch.values())
+    np.testing.assert_allclose(float(out1['loss']),
+                               float(out2['loss']), rtol=1e-4)

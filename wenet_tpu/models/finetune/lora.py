@@ -128,3 +128,79 @@ def merge_lora(params):
         return {k: merge(v) for k, v in tree.items()}
 
     return merge(params)
+
+
+def estimate_gradient(model, variables, batches, rng=None):
+    """Average loss gradient over a few batches (LoRA-GA probe).
+
+    ref: finetune/lora/utils.py:116-155 (estimate_gradient).  Returns a
+    params-shaped pytree of mean gradients; only 'kernel' leaves of
+    LoRA-wrapped denses are consumed by `reinit_lora`."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def loss_fn(params, batch):
+        variables_ = {**variables, 'params': params}
+        out = model.apply(variables_, batch['feats'],
+                          batch['feats_lengths'], batch['target'],
+                          batch['target_lengths'],
+                          rngs={'dropout': rng, 'chunk': rng})
+        loss = out['loss'] if isinstance(out, dict) else out[0]['loss']
+        return jnp.asarray(loss, jnp.float32)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    acc = None
+    n = 0
+    for batch in batches:
+        g = grad_fn(variables['params'], batch)
+        acc = g if acc is None else jax.tree_util.tree_map(
+            jnp.add, acc, g)
+        n += 1
+    assert n > 0, 'estimate_gradient needs at least one batch'
+    return jax.tree_util.tree_map(lambda x: x / n, acc)
+
+
+def reinit_lora(params, grads=None, init_type: str = 'gradient',
+                stable_gamma: float = 16.0, rng=None):
+    """Re-initialize lora_A/lora_B, LoRA-GA style.
+
+    ref: finetune/lora/utils.py:157-214 (reinit_lora_modules).
+    init_type:
+      'gradient' — SVD of the accumulated base-kernel gradient: A gets
+        the top-r right singular vectors, B the next r left singular
+        vectors, both scaled by 1/sqrt(stable_gamma); the kernel is
+        compensated by -(B@A)^T so the initial function is unchanged.
+      'gaussian' — kaiming A, zero B (the default linen init).
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def walk(p, g, key):
+        if not isinstance(p, dict):
+            return p
+        if 'lora_A' in p and 'kernel' in p:
+            A, B = p['lora_A'], p['lora_B']
+            r = A.shape[0]
+            new = dict(p)
+            if init_type == 'gradient':
+                assert g is not None and 'kernel' in g, \
+                    'gradient init needs estimate_gradient output'
+                Gt = g['kernel'].T  # torch layout (out, in)
+                U, S, Vh = jnp.linalg.svd(Gt, full_matrices=False)
+                scale = 1.0 / jnp.sqrt(stable_gamma)
+                newA = Vh[:r] * scale
+                newB = U[:, r:2 * r] * scale
+                new['lora_A'] = newA.astype(A.dtype)
+                new['lora_B'] = newB.astype(B.dtype)
+                # keep f(x) unchanged at init (LoRA-GA offsets W)
+                new['kernel'] = p['kernel'] - (newB @ newA).T.astype(
+                    p['kernel'].dtype)
+            else:
+                k1, _ = jax.random.split(jax.random.fold_in(rng, key[0]))
+                new['lora_A'] = nn.initializers.kaiming_uniform()(
+                    k1, A.shape, A.dtype)
+                new['lora_B'] = jnp.zeros_like(B)
+            return new
+        return {k: walk(v, g.get(k) if isinstance(g, dict) else None,
+                        key + (hash(k),))
+                for k, v in p.items()}
+
+    return walk(params, grads or {}, (0,))
