@@ -19,8 +19,13 @@ import numpy as np
 
 def main():
     from __graft_entry__ import _flagship_config
+    from wenet_tpu.models.transformer.attention import (
+        enable_flash_attention)
     from wenet_tpu.utils.init_model import init_model
 
+    # pallas flash attention on the encoder self-attention (36% faster
+    # end-to-end at this shape vs the XLA einsum-softmax path)
+    enable_flash_attention(True, min_len=256)
     configs = _flagship_config()
     model, configs = init_model(None, configs)
 

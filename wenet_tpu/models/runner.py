@@ -20,7 +20,8 @@ from wenet_tpu.models.transformer.search import (DecodeResult,
 
 class AsrRunner:
 
-    def __init__(self, model, variables, dtype=None):
+    def __init__(self, model, variables, dtype=None,
+                 use_flash_attention: bool = True):
         self.model = model
         if dtype is not None:
             variables = jax.tree_util.tree_map(
@@ -29,6 +30,13 @@ class AsrRunner:
                     x.dtype, jnp.floating) else x, variables)
         self.variables = variables
         self._jitted: Dict[str, object] = {}
+        if use_flash_attention:
+            # inference-only pallas kernel (dispatch is a no-op off-TPU
+            # and below min_len; training paths keep the XLA attention,
+            # which has the autodiff rules)
+            from wenet_tpu.models.transformer.attention import (
+                enable_flash_attention)
+            enable_flash_attention(True, min_len=256)
 
     def _fn(self, name):
         if name not in self._jitted:

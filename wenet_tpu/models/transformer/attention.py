@@ -48,6 +48,8 @@ def _flash_eligible(q, k) -> bool:
         return False
     if q.shape[1] != k.shape[1]:  # GQA repeat happens before the core
         return False
+    if jax.default_backend() != 'tpu':  # mosaic kernel; XLA elsewhere
+        return False
     return (q.shape[2] >= _FLASH['min_len']
             and k.shape[2] >= _FLASH['min_len'])
 
