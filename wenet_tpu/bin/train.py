@@ -42,6 +42,12 @@ def get_args():
                         help='unused (thread prefetch built in)')
     parser.add_argument('--prefetch', type=int, default=2)
     parser.add_argument('--seed', type=int, default=777)
+    parser.add_argument('--profile_dir', default=None,
+                        help='write a jax.profiler trace (xplane, '
+                             'viewable in tensorboard/xprof) covering '
+                             '--profile_steps steps of epoch 0')
+    parser.add_argument('--profile_start_step', type=int, default=10)
+    parser.add_argument('--profile_steps', type=int, default=5)
     return parser.parse_args()
 
 
@@ -124,6 +130,12 @@ def main():
     max_epoch = configs.get('max_epoch', 100)
     # put state on the mesh
     state = jax.device_put(state, replicated(mesh))
+    if args.profile_dir and host_id == 0:
+        # device-level tracing (the reference has no profiler at all;
+        # on TPU xprof shows per-op MXU/HBM utilization)
+        configs['profile'] = dict(dir=args.profile_dir,
+                                  start=args.profile_start_step,
+                                  steps=args.profile_steps)
     for epoch in range(start_epoch, max_epoch):
         configs['epoch'] = epoch
         logging.info('Epoch %d TRAIN info lr %s', epoch,

@@ -61,7 +61,14 @@ class Executor:
         if self.train_step_timer is None:
             self.train_step_timer = StepTimer(self.step)
         rng = jax.random.PRNGKey(configs.get('seed', 777) + epoch)
+        prof = configs.get('profile')
         for batch_idx, batch in enumerate(train_data_loader):
+            if prof is not None and self.step == prof['start']:
+                jax.profiler.start_trace(prof['dir'])
+            if prof is not None and \
+                    self.step == prof['start'] + prof['steps']:
+                jax.profiler.stop_trace()
+                prof = None
             if batch['target_lengths'].size == 0:
                 continue
             dbatch = _to_device_batch(batch, mesh)
