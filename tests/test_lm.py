@@ -140,3 +140,16 @@ def test_tlg_incremental_matches_single_shot(tmp_path):
     b.search(logp[9:])
     assert a.hypotheses == b.hypotheses
     np.testing.assert_allclose(a.likelihood, b.likelihood, atol=1e-6)
+
+
+def test_offline_nbest_lm_rescore(lm):
+    from wenet_tpu.bin.recognize import _lm_rescore
+    from wenet_tpu.models.transformer.search import DecodeResult
+    id2sym = {1: 'a', 2: 'b'}
+    r = DecodeResult(tokens=[1, 1], score=-1.0,
+                     nbest=[[1, 1], [1, 2]],
+                     nbest_scores=[-1.0, -1.1],
+                     nbest_times=[[0, 2], [0, 3]])
+    out = _lm_rescore(r, lm, lm_weight=2.0, id2sym=id2sym)
+    assert out.tokens == [1, 2]       # LM prefers "a b"
+    assert out.times == [0, 3]

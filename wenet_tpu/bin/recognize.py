@@ -38,7 +38,28 @@ def get_args():
     parser.add_argument('--override_config', action='append', default=[])
     parser.add_argument('--context_list_path', default=None)
     parser.add_argument('--context_graph_score', type=float, default=6.0)
+    parser.add_argument('--lm_path', default=None,
+                        help='ARPA n-gram for nbest rescoring '
+                             '(shallow-fusion analog of the reference '
+                             'TLG LM path, docs/lm.md)')
+    parser.add_argument('--lm_weight', type=float, default=0.5)
     return parser.parse_args()
+
+
+def _lm_rescore(result, lm, lm_weight, id2sym):
+    """Re-rank an nbest list with ARPA LM scores (offline fusion)."""
+    import dataclasses
+    best, best_score, best_idx = None, -float('inf'), 0
+    for idx, (toks, ac) in enumerate(zip(result.nbest,
+                                         result.nbest_scores)):
+        words = [id2sym.get(int(t), str(int(t))) for t in toks]
+        score = ac + lm_weight * lm.score_sequence(words)
+        if score > best_score:
+            best, best_score, best_idx = toks, score, idx
+    times = (result.nbest_times[best_idx]
+             if result.nbest_times else result.times)
+    return dataclasses.replace(result, tokens=list(best),
+                               score=best_score, times=times)
 
 
 def main():
@@ -83,6 +104,12 @@ def main():
                                         checkpoint=args.checkpoint)
     runner = AsrRunner(model, variables)
 
+    lm = None
+    if args.lm_path:
+        from wenet_tpu.lm.arpa import read_arpa
+        lm = read_arpa(args.lm_path)
+        id2sym = {v: k for k, v in tokenizer.symbol_table.items()}
+
     context_graph = None
     if args.context_list_path:
         from wenet_tpu.utils.context_graph import ContextGraph
@@ -114,6 +141,9 @@ def main():
             infos={'tasks': batch['tasks'], 'langs': batch['langs']})
         for mode, hyps in results.items():
             for i, key in enumerate(keys):
+                if lm is not None and hyps[i].nbest:
+                    hyps[i] = _lm_rescore(hyps[i], lm, args.lm_weight,
+                                          id2sym)
                 tokens = [int(t) for t in hyps[i].tokens]
                 line = '{} {}'.format(
                     key, tokenizer.detokenize(tokens)[0])
