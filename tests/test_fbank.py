@@ -88,3 +88,18 @@ def test_mel_banks_cover_spectrum():
     # every fft bin between ~60Hz and nyquist-ish contributes somewhere
     coverage = banks.sum(1)
     assert (coverage[4:250] > 0).all()
+
+
+def test_native_fbank_matches_numpy():
+    import pytest
+    from wenet_tpu.ops.fbank import compute_fbank_np
+    from wenet_tpu.runtime import native_fbank
+    if not native_fbank.available():
+        pytest.skip('libfbank.so not built')
+    rng = np.random.RandomState(0)
+    wav = (0.3 * rng.randn(16000 * 2)).astype(np.float32) * (1 << 15)
+    ref = compute_fbank_np(wav, num_mel_bins=80)
+    nf = native_fbank.NativeFbank(80)
+    got = nf.compute(wav)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

@@ -35,8 +35,8 @@ def test_feature_pipeline_incremental_equals_batch():
     wav = (0.2 * rng.randn(16000)).astype(np.float32)
     full = compute_fbank_np(wav * (1 << 15), num_mel_bins=40,
                             sample_rate=16000)
-    fp = FeaturePipeline()
-    fp.config.num_mel_bins = 40
+    from wenet_tpu.runtime.feature_pipeline import FeaturePipelineConfig
+    fp = FeaturePipeline(FeaturePipelineConfig(num_mel_bins=40))
     chunks = []
     for i in range(0, len(wav), 1600):
         f = fp.accept_waveform(wav[i:i + 1600])

@@ -30,8 +30,17 @@ class FeaturePipelineConfig:
 
 class FeaturePipeline:
 
-    def __init__(self, config: Optional[FeaturePipelineConfig] = None):
+    def __init__(self, config: Optional[FeaturePipelineConfig] = None,
+                 prefer_native: bool = True):
         self.config = config or FeaturePipelineConfig()
+        self._native = None
+        if prefer_native and self.config.dither == 0.0:
+            from wenet_tpu.runtime import native_fbank
+            if native_fbank.available():
+                c = self.config
+                self._native = native_fbank.NativeFbank(
+                    c.num_mel_bins, c.sample_rate, c.frame_length,
+                    c.frame_shift)
         self.reset()
 
     def reset(self):
@@ -53,10 +62,14 @@ class FeaturePipeline:
         if len(wav) < c.frame_length_samples:
             self._remained = wav
             return np.zeros((0, c.num_mel_bins), np.float32)
-        feats = compute_fbank_np(
-            wav * (1 << 15), num_mel_bins=c.num_mel_bins,
-            frame_length_ms=c.frame_length, frame_shift_ms=c.frame_shift,
-            sample_rate=c.sample_rate, dither=c.dither)
+        if self._native is not None:
+            feats = self._native.compute(wav * (1 << 15))
+        else:
+            feats = compute_fbank_np(
+                wav * (1 << 15), num_mel_bins=c.num_mel_bins,
+                frame_length_ms=c.frame_length,
+                frame_shift_ms=c.frame_shift,
+                sample_rate=c.sample_rate, dither=c.dither)
         n = feats.shape[0]
         consumed = n * c.frame_shift_samples
         self._remained = wav[consumed:]
