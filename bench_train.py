@@ -29,7 +29,8 @@ def main():
     variables, configs = init_variables(model, configs)
     tx, schedule = init_optimizer_and_scheduler(configs)
     state = create_train_state(variables, tx)
-    train_step = jax.jit(make_train_step(model, tx, schedule))
+    train_step = jax.jit(make_train_step(model, tx, schedule,
+                                         compute_dtype=jnp.bfloat16))
 
     B, SECONDS = 16, 12.0
     T = int(SECONDS * 100)

@@ -55,3 +55,48 @@ def test_entry_compiles_small():
     loss = jax.jit(fn)(variables, b['feats'], b['feats_lengths'],
                        b['target'], b['target_lengths'])
     assert np.isfinite(float(loss))
+
+
+def test_mixed_precision_bf16_step():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    from wenet_tpu.utils.train_utils import (create_train_state,
+                                             init_optimizer_and_scheduler,
+                                             make_train_step)
+    configs = {
+        'input_dim': 80, 'output_dim': 10,
+        'encoder': 'conformer',
+        'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                         'linear_units': 64, 'num_blocks': 1,
+                         'cnn_module_kernel': 7,
+                         'cnn_module_norm': 'layer_norm'},
+        'decoder': 'transformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 64,
+                         'num_blocks': 1},
+        'model_conf': {'ctc_weight': 0.3},
+        'optim': 'adam', 'optim_conf': {'lr': 1e-3},
+        'scheduler': 'warmuplr', 'scheduler_conf': {'warmup_steps': 10},
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    tx, schedule = init_optimizer_and_scheduler(configs)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, tx, schedule,
+                                   compute_dtype=jnp.bfloat16))
+    rng = np.random.RandomState(0)
+    batch = {'feats': jnp.asarray(rng.randn(2, 64, 80), jnp.float32),
+             'feats_lengths': jnp.asarray([64, 48]),
+             'target': jnp.asarray([[2, 3, 4, -1], [5, 6, -1, -1]],
+                                   jnp.int32),
+             'target_lengths': jnp.asarray([3, 2])}
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['loss']))
+    # params remain fp32 (master copy) and actually moved
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.dtype == jnp.float32
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params,
+        new_state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0

@@ -10,6 +10,7 @@ import logging
 import os
 
 import jax
+import jax.numpy as jnp
 import yaml
 
 from wenet_tpu.dataset.dataset import Dataset
@@ -108,7 +109,12 @@ def main():
     state = create_train_state(variables, tx)
 
     mesh = make_mesh(parse_mesh(args.mesh))
-    train_step = compile_train_step(model, tx, mesh, schedule)
+    # mixed precision: configs['dtype'] in {'fp32','bf16'}
+    # (ref train.py --dtype / autocast)
+    compute_dtype = {'bf16': jnp.bfloat16}.get(
+        configs.get('dtype', 'fp32'))
+    train_step = compile_train_step(model, tx, mesh, schedule,
+                                    compute_dtype=compute_dtype)
     cv_step = jax.jit(make_cv_step(model))
 
     if host_id == 0:

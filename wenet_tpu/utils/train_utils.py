@@ -80,17 +80,32 @@ def create_train_state(variables, tx) -> TrainState:
                       extra_vars=extra)
 
 
-def make_train_step(model, tx, schedule=None):
+def make_train_step(model, tx, schedule=None, compute_dtype=None):
     """Build the pure train step: (state, batch, rng) -> (state, metrics).
 
     batch: dict(feats, feats_lengths, target, target_lengths).
-    ref: train_utils.py:669-794 (batch_forward/backward/update)."""
+    ref: train_utils.py:669-794 (batch_forward/backward/update).
+
+    compute_dtype: jnp.bfloat16 for mixed precision — params/grads/adam
+    state stay fp32, the forward/backward matmuls run bf16 (the TPU
+    analog of the reference's autocast, train_utils.py:669-702); losses
+    are already accumulated in fp32 internally."""
+
+    def _cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, 'dtype') and jnp.issubdtype(
+                x.dtype, jnp.floating) else x, tree)
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         dropout_rng, chunk_rng = jax.random.split(rng)
+        batch = dict(batch, feats=_cast(batch['feats']))
 
         def loss_fn(params):
+            params = _cast(params)
             variables = {'params': params, **state.extra_vars}
             mutable = []
             if state.batch_stats is not None:
@@ -113,6 +128,9 @@ def make_train_step(model, tx, schedule=None):
 
         grads, (out, new_bs) = jax.grad(loss_fn, has_aux=True)(
             state.params)
+        if compute_dtype is not None:  # keep optimizer math fp32
+            grads = jax.tree_util.tree_map(
+                lambda g, p: g.astype(p.dtype), grads, state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -149,9 +167,10 @@ def make_cv_step(model):
 
 
 def compile_train_step(model, tx, mesh, schedule=None,
-                       donate: bool = True):
+                       donate: bool = True, compute_dtype=None):
     """jit the train step with data-sharded batch + replicated state."""
-    step_fn = make_train_step(model, tx, schedule)
+    step_fn = make_train_step(model, tx, schedule,
+                              compute_dtype=compute_dtype)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(
