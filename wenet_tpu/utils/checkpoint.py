@@ -201,3 +201,45 @@ def load_trained_modules(model, variables, enc_init: str,
     sub = {k: v for k, v in ckpt.items() if k in wanted}
     variables = convert_torch_state_dict(sub, variables)
     return variables, {}
+
+
+def _to_torch_leaf(flax_arr: np.ndarray, leaf_name: str,
+                   tkey: str) -> np.ndarray:
+    """Inverse of `_to_flax_leaf`: flax layout -> torch layout."""
+    a = np.asarray(flax_arr)
+    if leaf_name == 'kernel':
+        if a.ndim == 2:
+            a = a.T  # (in,out) -> Linear (out,in)
+            if 'pointwise_conv' in tkey:
+                a = a[:, :, None]  # Dense -> pointwise Conv1d (O,I,1)
+        elif a.ndim == 3:
+            a = a.transpose(2, 1, 0)  # (K,I,O) -> Conv1d (O,I,K)
+        elif a.ndim == 4:
+            a = a.transpose(3, 2, 0, 1)  # HWIO -> Conv2d OIHW
+    return a
+
+
+def convert_to_torch_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Export flax variables as a reference-layout torch state dict.
+
+    Inverse of `convert_torch_state_dict`: lets models trained here be
+    deployed on the reference's existing libtorch/onnx runtimes (save
+    with torch.save for a drop-in `.pt`)."""
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    out: Dict[str, np.ndarray] = {}
+    for keypath, leaf in flat:
+        path = tuple(
+            k.key if hasattr(k, 'key') else str(k) for k in keypath)
+        tkey = flax_path_to_torch_key(path)
+        if tkey is None:
+            continue
+        out[tkey] = _to_torch_leaf(np.asarray(leaf), path[-1], tkey)
+    return out
+
+
+def save_torch_checkpoint(variables, path: str):
+    """Write a torch-loadable .pt of the reference layout."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in convert_to_torch_state_dict(variables).items()}
+    torch.save(sd, path)
