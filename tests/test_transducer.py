@@ -153,3 +153,157 @@ def test_predictor_step_matches_forward():
     step_out = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(full), np.asarray(step_out),
                                atol=1e-5)
+
+
+def test_transducer_beam_search_runs(transducer_model):
+    model, variables = transducer_model
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(2, 64, 40), jnp.float32)
+    fl = jnp.asarray([64, 48])
+    enc, mask = model.apply(variables, feats, fl,
+                            method=model.forward_encoder)
+    enc_lens = jnp.sum(mask[:, 0, :], -1)
+    tokens, lens, scores = model.apply(variables, enc, enc_lens, 4,
+                                       method=model.beam_search)
+    tokens, lens, scores = map(np.asarray, (tokens, lens, scores))
+    assert tokens.shape[:2] == (2, 4)
+    assert np.all(np.diff(scores, axis=1) <= 1e-5)  # sorted
+    assert np.all(lens <= tokens.shape[2])
+    # greedy result should appear among beam hypotheses scores-wise:
+    # beam's best score >= greedy path score is guaranteed by merging,
+    # here we just check best hyp is finite and lens consistent
+    assert np.all(np.isfinite(scores[:, 0]))
+
+
+def test_transducer_beam_matches_exhaustive():
+    """Tiny joint-table transducer: beam-search best must equal the
+    exhaustive argmax_y P(y|x) computed with the (verified) RNN-T
+    loss."""
+    import itertools
+    import flax.linen as fnn
+    from wenet_tpu.models.transducer.transducer import Transducer
+
+    V, T, E = 4, 3, 8
+
+    class TinyPredictor(fnn.Module):
+        voca_size: int = V
+        out: int = E
+
+        def setup(self):
+            self.embed = fnn.Embed(self.voca_size, self.out,
+                                   name='embed')
+
+        def init_state(self, batch_size, dtype=jnp.float32):
+            return (jnp.zeros((batch_size, 1), dtype),)
+
+        def __call__(self, inputs, cache=None, train=False):
+            return self.embed(inputs)
+
+        def forward_step(self, inputs, padding, cache):
+            return self.embed(inputs), cache
+
+        def select_state(self, new, old, keep_new):
+            return new
+
+    class TinyJoint(fnn.Module):
+        vocab_size: int = V
+
+        def setup(self):
+            self.lin = fnn.Dense(self.vocab_size, name='lin')
+
+        def __call__(self, enc, pred, pre_project=True, train=False):
+            if enc.ndim != 4:
+                enc = enc[:, :, None, :]
+            if pred.ndim != 4:
+                pred = pred[:, None, :, :]
+            return self.lin(jnp.tanh(enc + pred))
+
+    from wenet_tpu.models.transformer.ctc import CTC
+    from wenet_tpu.models.transformer.encoder import TransformerEncoder
+    enc_mod = TransformerEncoder(input_size=8, output_size=E,
+                                 attention_heads=2, linear_units=16,
+                                 num_blocks=1, name='encoder')
+    model = Transducer(vocab_size=V, encoder=enc_mod, decoder=None,
+                       ctc=None, predictor=TinyPredictor(),
+                       joint=TinyJoint(), blank=0,
+                       ctc_weight=0.0, transducer_weight=1.0)
+    rng = np.random.RandomState(3)
+    enc_out = jnp.asarray(rng.randn(1, T, E), jnp.float32)
+    # init params via a plain forward touch (creating params inside
+    # beam_search's lax.scan is not allowed by linen)
+    def touch(m):
+        pred = m.predictor(jnp.zeros((1, 1), jnp.int32))
+        return m.joint(jnp.zeros((1, 1, E)), pred)
+
+    variables = model.init(jax.random.PRNGKey(0), method=touch)
+    tokens, lens, scores = model.apply(variables, enc_out,
+                                       jnp.asarray([T]), 4, 3, 6,
+                                       method=model.beam_search)
+    best = [int(t) for t in
+            np.asarray(tokens)[0, 0][:int(np.asarray(lens)[0, 0])]]
+
+    # exhaustive: score every label sequence up to len 3 via the
+    # RNN-T forward algorithm on the same joint table
+    def seq_logp(y):
+        U = len(y)
+        pred_in = jnp.asarray([[0] + list(y)], jnp.int32)  # blank-led
+        pred_out = model.apply(variables, pred_in,
+                               method=lambda m, x: m.predictor(x))
+        logits = model.apply(
+            variables, enc_out, pred_out,
+            method=lambda m, e, p: m.joint(e, p))  # (1,T,U+1,V)
+        logp = jax.nn.log_softmax(logits, -1)
+        # forward algorithm over the (T, U+1) lattice
+        import math
+        alpha = np.full((T + 1, U + 1), -np.inf)
+        alpha[0][0] = 0.0
+        lp = np.asarray(logp[0])
+        for t in range(T + 1):
+            for u in range(U + 1):
+                if t > 0 and alpha[t - 1][u] > -np.inf:
+                    alpha[t][u] = np.logaddexp(
+                        alpha[t][u],
+                        alpha[t - 1][u] + lp[t - 1, u, 0])
+                if u > 0 and alpha[t][u - 1] > -np.inf:
+                    # emit y[u-1] consuming no frame... emission in
+                    # rnnt consumes label at same t
+                    pass
+        # proper forward: alpha[t][u] from (t-1,u) blank and (t,u-1)
+        # label
+        alpha = np.full((T + 1, U + 1), -np.inf)
+        alpha[0][0] = 0.0
+        for t in range(T + 1):
+            for u in range(U + 1):
+                if t > 0:
+                    alpha[t][u] = np.logaddexp(
+                        alpha[t][u],
+                        alpha[t - 1][u] + lp[t - 1, u, 0])
+                if u > 0 and t > 0:
+                    alpha[t][u] = np.logaddexp(
+                        alpha[t][u],
+                        alpha[t][u - 1] + lp[t - 1, u - 1, y[u - 1]])
+                elif u > 0 and t == 0:
+                    pass  # first label needs at least frame 1 context?
+        return alpha[T][U]
+
+    cands = []
+    for L in range(0, 4):
+        for y in itertools.product(range(1, V), repeat=L):
+            cands.append((seq_logp(list(y)), list(y)))
+    cands.sort(key=lambda x: -x[0])
+    assert best == cands[0][1], (best, cands[:3])
+
+
+def test_runner_rnnt_modes(transducer_model):
+    from wenet_tpu.models.runner import AsrRunner
+    model, variables = transducer_model
+    runner = AsrRunner(model, variables)
+    rng = np.random.RandomState(5)
+    feats = jnp.asarray(rng.randn(2, 64, 40), jnp.float32)
+    fl = jnp.asarray([64, 48])
+    res = runner.decode(['rnnt_greedy_search', 'rnnt_beam_search'],
+                        feats, fl, beam_size=4)
+    assert len(res['rnnt_greedy_search']) == 2
+    assert len(res['rnnt_beam_search']) == 2
+    r = res['rnnt_beam_search'][0]
+    assert len(r.nbest) == 4 and len(r.nbest_scores) == 4

@@ -124,6 +124,39 @@ class AsrRunner:
         ctc_probs = (self.ctc_logprobs(encoder_out, blank_penalty,
                                        blank_id) if needs_ctc else None)
         results: Dict[str, List[DecodeResult]] = {}
+        if 'rnnt_greedy_search' in methods:
+            tokens, n_emit = self._fn('greedy_search')(
+                self.variables, encoder_out, encoder_lens)
+            tokens, n_emit = np.asarray(tokens), np.asarray(n_emit)
+            blank = getattr(self.model, 'blank', 0)
+            results['rnnt_greedy_search'] = [
+                DecodeResult(tokens=[int(t) for t in
+                                     tokens[b, :n_emit[b]]
+                                     if int(t) != blank])
+                for b in range(tokens.shape[0])
+            ]
+        if 'rnnt_beam_search' in methods:
+            model = self.model
+
+            if 'rnnt_beam' not in self._jitted:
+                self._jitted['rnnt_beam'] = jax.jit(
+                    lambda v, e, el: model.apply(
+                        v, e, el, beam_size,
+                        method=model.beam_search))
+            tokens, lens, scores = self._jitted['rnnt_beam'](
+                self.variables, encoder_out, encoder_lens)
+            tokens = np.asarray(tokens)
+            lens = np.asarray(lens)
+            scores = np.asarray(scores)
+            results['rnnt_beam_search'] = [
+                DecodeResult(
+                    tokens=[int(t) for t in tokens[b, 0, :lens[b, 0]]],
+                    score=float(scores[b, 0]),
+                    nbest=[[int(t) for t in tokens[b, k, :lens[b, k]]]
+                           for k in range(tokens.shape[1])],
+                    nbest_scores=[float(sc) for sc in scores[b]])
+                for b in range(tokens.shape[0])
+            ]
         if 'attention' in methods:
             results['attention'] = attention_beam_search(
                 self.model, self.variables, encoder_out, encoder_mask,
