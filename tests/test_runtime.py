@@ -200,9 +200,22 @@ def test_post_processor():
     pp2 = PostProcessor(PostProcessOptions(
         language_type=LanguageType.INDO_EUROPEAN, lowercase=False))
     assert pp2.process('GUTEN▁MORGEN wie') == 'GUTEN MORGEN wie'
-    import pytest as _pytest
-    with _pytest.raises(ImportError):
-        PostProcessor(PostProcessOptions(itn=True))
+    # itn fallback normalizer (rule-based numbers)
+    pp3 = PostProcessor(PostProcessOptions(itn=True))
+    assert pp3.process('共一百二十三人') == '共123人'
+
+
+def test_builtin_itn():
+    from wenet_tpu.runtime.itn import normalize
+    assert normalize('一百二十三') == '123'
+    assert normalize('两千零一') == '2001'
+    assert normalize('三点一四') == '3.14'
+    assert normalize('百分之三十') == '30%'
+    assert normalize('一九九七年') == '1997年'
+    assert normalize('三万五千') == '35000'
+    assert normalize('一个人') == '一个人'      # lone digit left alone
+    assert normalize('十块钱') == '10块钱'
+    assert normalize('五亿零三百万') == '503000000'
 
 
 def test_http_roundtrip(streaming_model):

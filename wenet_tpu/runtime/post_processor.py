@@ -54,18 +54,15 @@ class PostProcessor:
         self.opts = opts or PostProcessOptions()
         self._itn = None
         if self.opts.itn:
-            raise_on_missing = None
             try:
-                from itn import Normalizer  # WeTextProcessing
-            except ImportError as e:
-                raise_on_missing = e
-            if raise_on_missing is not None:
-                raise ImportError(
-                    'ITN needs WeTextProcessing (pip install '
-                    'WeTextProcessing), the same optional dep the '
-                    'reference pulls via cmake/wetextprocessing.cmake'
-                ) from raise_on_missing
-            self._itn = Normalizer()
+                from itn import Normalizer  # WeTextProcessing FSTs
+                self._itn = Normalizer()
+            except ImportError:
+                # rule-based fallback (numbers only); install
+                # WeTextProcessing for full-coverage FST ITN as the
+                # reference uses (cmake/wetextprocessing.cmake)
+                from wenet_tpu.runtime.itn import Normalizer
+                self._itn = Normalizer()
 
     def process_symbols(self, s: str) -> str:
         for sub in ('<unk>', '<context>', '</context>'):
