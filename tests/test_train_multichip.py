@@ -100,3 +100,53 @@ def test_mixed_precision_bf16_step():
         lambda a, b: float(jnp.abs(a - b).max()), state.params,
         new_state.params)
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_moe_expert_parallel_sharding():
+    """MoE expert weights shard over the model axis and a train step
+    executes under that layout (expert parallelism via GSPMD)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wenet_tpu.parallel.mesh import make_mesh, state_shardings
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    from wenet_tpu.utils.train_utils import (create_train_state,
+                                             init_optimizer_and_scheduler,
+                                             make_train_step)
+    configs = {
+        'input_dim': 80, 'output_dim': 10,
+        'encoder': 'transformer',
+        'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                         'linear_units': 64, 'num_blocks': 1,
+                         'mlp_type': 'moe', 'n_expert': 4,
+                         'n_expert_activated': 2},
+        'decoder': 'transformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 64,
+                         'num_blocks': 1},
+        'model_conf': {'ctc_weight': 0.3},
+        'optim': 'adam', 'optim_conf': {'lr': 1e-3},
+        'scheduler': 'warmuplr', 'scheduler_conf': {'warmup_steps': 5},
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    mesh = make_mesh({'data': 2, 'model': 4})
+    tx, schedule = init_optimizer_and_scheduler(configs)
+    state = create_train_state(variables, tx)
+    shardings = state_shardings(state, mesh, shard_model_axis=True,
+                                min_dim=100000)  # only 3D rule fires
+    # at least one leaf must be expert-sharded
+    specs = [s.spec for s in jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: hasattr(x, 'spec'))]
+    assert any(sp and sp[0] == 'model' for sp in specs)
+    state = jax.device_put(state, shardings)
+    step = jax.jit(make_train_step(model, tx, schedule),
+                   in_shardings=(shardings, None, None),
+                   out_shardings=(shardings, None))
+    rng = np.random.RandomState(0)
+    batch = {'feats': jnp.asarray(rng.randn(2, 32, 80), jnp.float32),
+             'feats_lengths': jnp.asarray([32, 28]),
+             'target': jnp.asarray([[2, 3, 4, -1], [5, 6, -1, -1]],
+                                   jnp.int32),
+             'target_lengths': jnp.asarray([3, 2])}
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['loss']))

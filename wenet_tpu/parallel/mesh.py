@@ -89,6 +89,12 @@ def state_shardings(state, mesh: Mesh, shard_model_axis: bool = False,
         if (shard_model_axis and has_model and len(shape) == 2
                 and shape[1] % msize == 0 and shape[1] >= min_dim):
             return NamedSharding(mesh, P(None, MODEL_AXIS))
+        if (shard_model_axis and has_model and len(shape) == 3
+                and shape[0] % msize == 0):
+            # stacked MoE expert weights (E, D, H): expert-parallel
+            # over the model axis (GSPMD turns the dense-dispatch
+            # einsums into per-device expert shards + all-reduce)
+            return NamedSharding(mesh, P(MODEL_AXIS, None, None))
         return replicated(mesh)
 
     return jax.tree_util.tree_map(rule, state)
