@@ -111,3 +111,26 @@ def test_train_then_recognize(workdir):
         lines = open(path, encoding='utf8').read().strip().split('\n')
         assert len(lines) == 8
         assert all(line.split()[0].startswith('utt') for line in lines)
+
+
+def test_embedding_api_on_trained_model(workdir):
+    """wenet_api-style embedding surface over the e2e-trained model."""
+    import json
+    import numpy as np
+    from wenet_tpu.runtime import api
+    model_dir = str(workdir / 'exp')
+    if not os.path.exists(os.path.join(model_dir, 'final')):
+        import pytest
+        pytest.skip('train e2e test must run first')
+    h = api.wenet_init(model_dir)
+    api.wenet_set_nbest(h, 2)
+    api.wenet_set_timestamp(h, 1)
+    api.wenet_reset(h)
+    rng = np.random.RandomState(0)
+    pcm = (np.clip(0.2 * rng.randn(16000), -1, 1) * 32767).astype(
+        '<i2').tobytes()
+    out = json.loads(api.wenet_decode(h, pcm, last=1))
+    assert out['type'] == 'final_result'
+    assert isinstance(out['nbest'], list) and out['nbest']
+    assert 'sentence' in out['nbest'][0]
+    api.wenet_free(h)

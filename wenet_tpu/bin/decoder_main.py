@@ -47,8 +47,10 @@ def build_decoder(args):
         if args.dict_path:
             words = read_symbol_table(args.dict_path)
     pp = PostProcessor(PostProcessOptions(lowercase=not args.no_lowercase))
-    return AsrDecoder(model, variables, tokenizer, opts, lm=lm,
-                      lm_weight=args.lm_weight, tlg_fst=tlg,
+    from wenet_tpu.runtime.feature_pipeline import FeaturePipelineConfig
+    feat_cfg = FeaturePipelineConfig.from_configs(configs)
+    return AsrDecoder(model, variables, tokenizer, opts, feat_cfg,
+                      lm=lm, lm_weight=args.lm_weight, tlg_fst=tlg,
                       word_table=words, post_processor=pp)
 
 

@@ -39,8 +39,11 @@ def main():
                          reverse_weight=args.reverse_weight,
                          beam_size=args.beam_size)
 
+    from wenet_tpu.runtime.feature_pipeline import FeaturePipelineConfig
+    feat_cfg = FeaturePipelineConfig.from_configs(configs)
+
     def factory():
-        return AsrDecoder(model, variables, tokenizer, opts)
+        return AsrDecoder(model, variables, tokenizer, opts, feat_cfg)
 
     server = make_server(factory, args.port, args.workers)
     server.start()

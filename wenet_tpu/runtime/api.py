@@ -31,6 +31,7 @@ class WenetRecognizer:
         self.model, configs = init_model(None, configs)
         self.variables, _ = init_variables(
             self.model, configs, checkpoint=_find_checkpoint(model_dir))
+        self.configs = configs
         self.nbest = 1
         self.enable_timestamp = False
         self.context = []
@@ -71,8 +72,13 @@ class WenetRecognizer:
                                      for w in self.context
                                  ],
                                  context_score=self.context_score)
+        from wenet_tpu.runtime.feature_pipeline import (
+            FeaturePipelineConfig)
         return AsrDecoder(self.model, self.variables, self.tokenizer,
-                          DecodeOptions(), context_graph=graph)
+                          DecodeOptions(),
+                          FeaturePipelineConfig.from_configs(
+                              self.configs),
+                          context_graph=graph)
 
     def reset(self):
         self._decoder = self._make_decoder()

@@ -27,6 +27,18 @@ class FeaturePipelineConfig:
         self.frame_length_samples = sample_rate * frame_length // 1000
         self.frame_shift_samples = sample_rate * frame_shift // 1000
 
+    @classmethod
+    def from_configs(cls, configs: dict) -> 'FeaturePipelineConfig':
+        """Build from a train.yaml dict (mel bins / frame geometry)."""
+        fc = configs.get('dataset_conf', {}).get('fbank_conf', {})
+        return cls(
+            num_mel_bins=fc.get('num_mel_bins',
+                                configs.get('input_dim', 80)),
+            frame_length=int(fc.get('frame_length', 25)),
+            frame_shift=int(fc.get('frame_shift', 10)),
+            sample_rate=configs.get('dataset_conf', {}).get(
+                'resample_conf', {}).get('resample_rate', 16000))
+
 
 class FeaturePipeline:
 
