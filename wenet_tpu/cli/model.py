@@ -98,6 +98,33 @@ class Model:
             result['tokens'] = info
         return result
 
+    def align(self, audio_file: str, label: str):
+        """CTC forced alignment of `label` to the audio.
+
+        ref: wenet/cli/model.py align path (uses ctc force_align)."""
+        import jax.numpy as jnp
+        import numpy as np
+        from wenet_tpu.utils.ctc_utils import force_align
+        feats = self.compute_feature(audio_file)
+        feats_j = jnp.asarray(feats)[None]
+        lengths = jnp.asarray([feats.shape[0]])
+        enc, mask = self.runner.forward_encoder(feats_j, lengths)
+        logp = np.asarray(self.runner.ctc_logprobs(enc))[0]
+        _, ids = self.tokenizer.tokenize(label)
+        ali = np.asarray(force_align(jnp.asarray(logp),
+                                     jnp.asarray(ids, jnp.int32)))
+        sub = self.runner.model.encoder.subsampling_rate
+        tokens = self.tokenizer.detokenize(list(ids))[1]
+        # token start = first frame of its viterbi span
+        info = []
+        seen = 0
+        for i, tid in enumerate(ids):
+            pos = [t for t, a in enumerate(ali) if a == tid]
+            start = pos[0] if pos else 0
+            info.append({'token': tokens[i],
+                         'start': round(start * 0.01 * sub, 3)})
+        return {'text': label, 'tokens': info}
+
     # compat with ref API
     def transcribe_wav(self, audio_file, **kw):
         return self.transcribe(audio_file, **kw)

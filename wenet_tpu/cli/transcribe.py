@@ -14,6 +14,15 @@ def get_args():
     parser.add_argument('--beam', type=int, default=5)
     parser.add_argument('--context_path', default=None)
     parser.add_argument('--context_score', type=float, default=6.0)
+    parser.add_argument('--align', action='store_true',
+                        help='force align the input label to the audio')
+    parser.add_argument('--label', type=str, default=None,
+                        help='label text for --align')
+    parser.add_argument('--punc', action='store_true',
+                        help='punctuation restoration (needs a punc '
+                             'model dir + jieba)')
+    parser.add_argument('--pm', type=str, default=None,
+                        help='punc model dir for --punc')
     return parser.parse_args()
 
 
@@ -23,8 +32,16 @@ def main():
     model = load_model(args.language, args.model_dir, beam=args.beam,
                        context_path=args.context_path,
                        context_score=args.context_score)
-    result = model.transcribe(args.audio_file,
-                              tokens_info=args.show_tokens_info)
+    if args.align:
+        assert args.label, '--align needs --label'
+        result = model.align(args.audio_file, args.label)
+    else:
+        result = model.transcribe(args.audio_file,
+                                  tokens_info=args.show_tokens_info)
+        if args.punc:
+            from wenet_tpu.cli.punc_model import load_punc_model
+            punc = load_punc_model(args.pm)
+            result['text_with_punc'] = punc(result['text'])
     print(result)
 
 
