@@ -75,3 +75,53 @@ def test_dispatch_toggle():
         np.testing.assert_allclose(flashed, plain, atol=2e-5)
     finally:
         A.enable_flash_attention(False, min_len=512)
+
+
+@pytest.mark.parametrize('B,h,T1,T2,d,use_mask', [
+    (2, 2, 64, 64, 32, True),
+    (1, 2, 37, 53, 32, True),
+    (1, 1, 40, 40, 16, False),
+])
+def test_flash_backward_matches_xla(B, h, T1, T2, d, use_mask):
+    from wenet_tpu.models.transformer.attention import attention_core
+    from wenet_tpu.ops.flash_attention import flash_attention
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, h, T1, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    mask = None
+    if use_mask:
+        lens = rng.randint(T2 // 2, T2 + 1, size=(B,))
+        mask = jnp.asarray(
+            np.arange(T2)[None, :] < lens[:, None])[:, None, :]
+
+    def loss_ref(q, k, v):
+        o = attention_core(
+            q, k, v, mask[:, None] if mask is not None else None, scale)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, mask, scale=scale, block_q=16,
+                            block_k=16)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=5e-4)
+
+
+def test_flash_backward_fully_masked_rows():
+    from wenet_tpu.ops.flash_attention import flash_attention
+    rng = np.random.RandomState(1)
+    B, h, T, d = 1, 1, 32, 16
+    q = jnp.asarray(rng.randn(B, h, T, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, h, T, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, h, T, d), jnp.float32)
+    mask = jnp.zeros((B, 1, T), bool)
+
+    g = jax.grad(lambda q: jnp.sum(flash_attention(
+        q, k, v, mask, scale=0.25, block_q=16, block_k=16)))(q)
+    np.testing.assert_allclose(np.asarray(g), 0.0)

@@ -1,4 +1,5 @@
-"""Pallas TPU flash attention for the encoder hot path.
+"""Pallas TPU flash attention (forward + backward) for the attention
+hot path.
 
 Blockwise online-softmax attention (never materializes the (T1, T2)
 score matrix in HBM): for each query tile the kernel streams key/value
@@ -7,9 +8,12 @@ accumulators.  Replaces the XLA einsum-softmax-einsum chain of
 `attention_core` for long sequences (whisper's 1500-frame encoder,
 long-form conformer), where the score matrix dominates HBM traffic.
 
-Supports the full `attention_core` contract: boolean mask
+Forward supports the full `attention_core` contract: boolean mask
 (True == attend) and an additive pre-scale bias (rel-pos matrix_bd) —
-both are read tile-by-tile, so only q/k/v/bias tiles ever sit in VMEM.
+both read tile-by-tile.  The custom-VJP backward (flash-attention
+backward recomputation: dq kernel streaming kv tiles, dk/dv kernel
+streaming q tiles, logsumexp residuals) covers the mask path; the bias
+path is inference-only (rel-pos training keeps the XLA attention).
 
 ref behavior: wenet/models/transformer/attention.py:105-172 (the
 masked-softmax semantics this kernel must reproduce, incl. fully-masked
@@ -26,11 +30,14 @@ from jax.experimental import pallas as pl
 NEG_INF = -1.0e30
 
 
-def _flash_kernel(*refs, scale: float, block_k: int, kv_len: int,
-                  has_mask: bool, has_bias: bool):
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+def _fwd_kernel(*refs, scale: float, block_k: int, kv_len: int,
+                has_mask: bool, has_bias: bool, has_lse: bool):
     q_ref, k_ref, v_ref = refs[:3]
     idx = 3
-    mask_ref = bias_ref = None
+    mask_ref = bias_ref = lse_ref = None
     if has_mask:
         mask_ref = refs[idx]
         idx += 1
@@ -38,6 +45,8 @@ def _flash_kernel(*refs, scale: float, block_k: int, kv_len: int,
         bias_ref = refs[idx]
         idx += 1
     o_ref = refs[idx]
+    if has_lse:
+        lse_ref = refs[idx + 1]
     q = q_ref[0].astype(jnp.float32)  # (block_q, d)
     block_q = q.shape[0]
     d = v_ref.shape[-1]
@@ -50,8 +59,8 @@ def _flash_kernel(*refs, scale: float, block_k: int, kv_len: int,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (block_q, block_k)
         if has_bias:
-            s = s + bias_ref[0, :, pl.dslice(i * block_k, block_k)].astype(
-                jnp.float32)
+            s = s + bias_ref[0, :, pl.dslice(i * block_k,
+                                             block_k)].astype(jnp.float32)
         s = s * scale
         if has_mask:
             m = mask_ref[0, :, pl.dslice(i * block_k, block_k)] != 0
@@ -80,24 +89,34 @@ def _flash_kernel(*refs, scale: float, block_k: int, kv_len: int,
     out = acc / safe_l[:, None]
     out = jnp.where((l > 0.0)[:, None], out, 0.0)
     o_ref[0] = out.astype(o_ref.dtype)
+    if has_lse:
+        lse = jnp.where(l > 0.0, m + jnp.log(safe_l), NEG_INF)
+        # 128-lane minor dim (TPU blockspec needs (8,128)-divisible
+        # tiles; same trick as the upstream pallas flash kernels)
+        lse_ref[0] = jnp.broadcast_to(
+            lse[:, None], lse_ref.shape[1:]).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=('scale', 'block_q',
-                                             'block_k'))
-def flash_attention(q: jax.Array,
-                    k: jax.Array,
-                    v: jax.Array,
-                    mask: Optional[jax.Array] = None,
-                    bias: Optional[jax.Array] = None,
-                    scale: float = 1.0,
-                    block_q: int = 128,
-                    block_k: int = 128) -> jax.Array:
-    """Same contract as `attention_core`.
+def _prep_mask(mask, B, T1, T2, pq, pk):
+    """Normalize mask to int8 (B*hm, T1p, T2p); kv padding masked."""
+    if mask is None:
+        m = jnp.ones((B, 1, 1, T2), bool)
+    else:
+        m = mask
+        if m.ndim == 3:
+            m = m[:, None]
+    m = jnp.broadcast_to(m, (B, m.shape[1], m.shape[2], T2))
+    m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, pk)))
+    if m.shape[2] == 1:
+        m = jnp.broadcast_to(m, (B, m.shape[1], T1, T2 + pk))
+    m = jnp.pad(m, ((0, 0), (0, 0), (0, pq), (0, 0)),
+                constant_values=False)
+    hm = m.shape[1]
+    return m.astype(jnp.int8).reshape(B * hm, T1 + pq, T2 + pk), hm
 
-    q: (B, h, T1, d); k/v: (B, h, T2, d)
-    mask: bool broadcastable to (B, h|1, T1|1, T2), True == attend
-    bias: additive pre-scale bias broadcastable to (B, h|1|, T1, T2)
-    """
+
+def _fwd_call(q, k, v, mask, bias, scale, block_q, block_k,
+              want_lse: bool):
     B, h, T1, d = q.shape
     T2 = k.shape[2]
     block_q = min(block_q, max(T1, 1))
@@ -111,20 +130,7 @@ def flash_attention(q: jax.Array,
 
     has_mask = mask is not None or pk > 0
     if has_mask:
-        if mask is None:
-            m = jnp.ones((B, 1, 1, T2), bool)
-        else:
-            m = mask
-            if m.ndim == 3:
-                m = m[:, None]
-        m = jnp.broadcast_to(m, (B, m.shape[1], m.shape[2], T2))
-        m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, pk)))
-        if m.shape[2] == 1:
-            m = jnp.broadcast_to(m, (B, m.shape[1], T1, T2p))
-        m = jnp.pad(m, ((0, 0), (0, 0), (0, pq), (0, 0)),
-                    constant_values=False)
-        m = m.astype(jnp.int8)  # 1-byte loads; bool lowering varies
-        hm = m.shape[1]
+        m, hm = _prep_mask(mask, B, T1, T2, pq, pk)
     has_bias = bias is not None
     if has_bias:
         b_ = jnp.broadcast_to(bias, (B,) + bias.shape[1:])
@@ -145,31 +151,277 @@ def flash_attention(q: jax.Array,
     if has_mask:
         in_specs.append(pl.BlockSpec(
             (1, block_q, T2p),
-            lambda b, i, j, hm=hm: (b * hm + (i if hm > 1 else 0), j, 0)))
-        args.append(m.reshape(B * hm, T1p, T2p))
-    else:
-        in_specs.append(None)
-        args.append(None)
+            lambda b, i, j, hm=hm: (b * hm + (i if hm > 1 else 0), j,
+                                    0)))
+        args.append(m)
     if has_bias:
         in_specs.append(pl.BlockSpec(
             (1, block_q, T2p),
-            lambda b, i, j, hb=hb: (b * hb + (i if hb > 1 else 0), j, 0)))
+            lambda b, i, j, hb=hb: (b * hb + (i if hb > 1 else 0), j,
+                                    0)))
         args.append(b_.reshape(B * hb, T1p, T2p))
-    else:
-        in_specs.append(None)
-        args.append(None)
 
-    kernel = functools.partial(_flash_kernel, scale=scale,
+    kernel = functools.partial(_fwd_kernel, scale=scale,
                                block_k=block_k, kv_len=T2p,
-                               has_mask=has_mask, has_bias=has_bias)
-    in_specs = [s for s, a in zip(in_specs, args) if a is not None]
-    args = [a for a in args if a is not None]
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
+                               has_mask=has_mask, has_bias=has_bias,
+                               has_lse=want_lse)
+    out_specs = [pl.BlockSpec((1, block_q, d),
+                              lambda b, i, j: (b * h + i, j, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B * h, T1p, d), v.dtype)]
+    if want_lse:
+        out_specs.append(pl.BlockSpec((1, block_q, 128),
+                                      lambda b, i, j: (b * h + i, j,
+                                                       0)))
+        out_shape.append(jax.ShapeDtypeStruct((B * h, T1p, 128),
+                                              jnp.float32))
+    res = pl.pallas_call(kernel, grid=grid, in_specs=in_specs,
+                         out_specs=out_specs if want_lse else
+                         out_specs[0],
+                         out_shape=out_shape if want_lse else
+                         out_shape[0])(*args)
+    if want_lse:
+        out, lse = res
+        return (out.reshape(B, h, T1p, d)[:, :, :T1],
+                lse[:, :, 0].reshape(B, h, T1p)[:, :, :T1])
+    return res.reshape(B, h, T1p, d)[:, :, :T1]
+
+
+# ---------------------------------------------------------------------------
+# backward (mask path only; bias path is inference-only)
+# ---------------------------------------------------------------------------
+def _bwd_dq_kernel(*refs, scale: float, block_k: int, kv_len: int,
+                   has_mask: bool):
+    if has_mask:
+        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+         dq_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+        mask_ref = None
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0].astype(jnp.float32)      # (block_q,)
+    delta = delta_ref[0, :, 0].astype(jnp.float32)  # (block_q,)
+    block_q, d = q.shape
+
+    def body(i, dq):
+        k = k_ref[0, pl.dslice(i * block_k, block_k)].astype(jnp.float32)
+        v = v_ref[0, pl.dslice(i * block_k, block_k)].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if has_mask:
+            m = mask_ref[0, :, pl.dslice(i * block_k, block_k)] != 0
+            s = jnp.where(m, s, NEG_INF)
+        p = jnp.where(s <= NEG_INF * 0.5, 0.0,
+                      jnp.exp(s - lse[:, None]))
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bq, bk)
+        ds = p * (dp - delta[:, None]) * scale
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, kv_len // block_k, body,
+                           jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(*refs, scale: float, block_q: int, q_len: int,
+                    has_mask: bool):
+    if has_mask:
+        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
+         dv_ref) = refs
+        mask_ref = None
+    k = k_ref[0].astype(jnp.float32)  # (block_k, d)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, d = k.shape
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.dslice(i * block_q, block_q)].astype(jnp.float32)
+        do = do_ref[0, pl.dslice(i * block_q,
+                                 block_q)].astype(jnp.float32)
+        lse = lse_ref[0, pl.dslice(i * block_q, block_q),
+                      0].astype(jnp.float32)
+        delta = delta_ref[0, pl.dslice(i * block_q, block_q),
+                          0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        if has_mask:
+            m = mask_ref[0, pl.dslice(i * block_q, block_q)] != 0
+            s = jnp.where(m, s, NEG_INF)
+        p = jnp.where(s <= NEG_INF * 0.5, 0.0,
+                      jnp.exp(s - lse[:, None]))
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bk, d)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bq, bk)
+        ds = p * (dp - delta[:, None]) * scale
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bk, d)
+        return dk, dv
+
+    z = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, q_len // block_q, body, (z, z))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_call(q, k, v, mask, out, lse, dout, scale, block_q, block_k):
+    B, h, T1, d = q.shape
+    T2 = k.shape[2]
+    block_q = min(block_q, max(T1, 1))
+    block_k = min(block_k, max(T2, 1))
+    pq = (-T1) % block_q
+    pk = (-T2) % block_k
+    T1p, T2p = T1 + pq, T2 + pk
+    q_p = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0))).reshape(
+        B * h, T1p, d)
+    k_p = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0))).reshape(
+        B * h, T2p, d)
+    v_p = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0))).reshape(
+        B * h, T2p, d)
+    do_p = jnp.pad(dout, ((0, 0), (0, 0), (0, pq), (0, 0))).reshape(
+        B * h, T1p, d)
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # (B,h,T1)
+    delta_p = jnp.broadcast_to(
+        jnp.pad(delta, ((0, 0), (0, 0), (0, pq))).reshape(
+            B * h, T1p)[:, :, None], (B * h, T1p, 128))
+    lse_p = jnp.broadcast_to(
+        jnp.pad(lse, ((0, 0), (0, 0), (0, pq))).reshape(
+            B * h, T1p)[:, :, None], (B * h, T1p, 128))
+
+    has_mask = mask is not None or pk > 0
+    if has_mask:
+        m, hm = _prep_mask(mask, B, T1, T2, pq, pk)
+
+    # dq: grid over q tiles
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b * h + i, j, 0)),
+        pl.BlockSpec((1, T2p, d), lambda b, i, j: (b * h + i, 0, 0)),
+        pl.BlockSpec((1, T2p, d), lambda b, i, j: (b * h + i, 0, 0)),
+    ]
+    args = [q_p, k_p, v_p]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, T2p),
+            lambda b, i, j, hm=hm: (b * hm + (i if hm > 1 else 0), j,
+                                    0)))
+        args.append(m)
+    in_specs += [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b * h + i, j, 0)),
+        pl.BlockSpec((1, block_q, 128),
+                     lambda b, i, j: (b * h + i, j, 0)),
+        pl.BlockSpec((1, block_q, 128),
+                     lambda b, i, j: (b * h + i, j, 0)),
+    ]
+    args += [do_p, lse_p, delta_p]
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
+                          kv_len=T2p, has_mask=has_mask),
+        grid=(B, h, T1p // block_q),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda b, i, j: (b * h + i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * h, T1p, d), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * h, T1p, d), q.dtype),
     )(*args)
-    return out.reshape(B, h, T1p, d)[:, :, :T1]
+
+    # dk/dv: grid over kv tiles
+    in_specs = [
+        pl.BlockSpec((1, T1p, d), lambda b, i, j: (b * h + i, 0, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b * h + i, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b * h + i, j, 0)),
+    ]
+    args = [q_p, k_p, v_p]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(
+            (1, T1p, block_k),
+            lambda b, i, j, hm=hm: (b * hm + (i if hm > 1 else 0), 0,
+                                    j)))
+        args.append(m)
+    in_specs += [
+        pl.BlockSpec((1, T1p, d), lambda b, i, j: (b * h + i, 0, 0)),
+        pl.BlockSpec((1, T1p, 128), lambda b, i, j: (b * h + i, 0, 0)),
+        pl.BlockSpec((1, T1p, 128), lambda b, i, j: (b * h + i, 0, 0)),
+    ]
+    args += [do_p, lse_p, delta_p]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale,
+                          block_q=block_q, q_len=T1p,
+                          has_mask=has_mask),
+        grid=(B, h, T2p // block_k),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d),
+                         lambda b, i, j: (b * h + i, j, 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda b, i, j: (b * h + i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * h, T2p, d), k.dtype),
+            jax.ShapeDtypeStruct((B * h, T2p, d), v.dtype),
+        ],
+    )(*args)
+    dq = dq.reshape(B, h, T1p, d)[:, :, :T1]
+    dk = dk.reshape(B, h, T2p, d)[:, :, :T2]
+    dv = dv.reshape(B, h, T2p, d)[:, :, :T2]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_diff(q, k, v, mask, scale, block_q, block_k):
+    return _fwd_call(q, k, v, mask, None, scale, block_q, block_k,
+                     want_lse=False)
+
+
+def _flash_diff_fwd(q, k, v, mask, scale, block_q, block_k):
+    out, lse = _fwd_call(q, k, v, mask, None, scale, block_q, block_k,
+                         want_lse=True)
+    return out, (q, k, v, mask, out, lse)
+
+
+def _flash_diff_bwd(scale, block_q, block_k, res, dout):
+    q, k, v, mask, out, lse = res
+    dq, dk, dv = _bwd_call(q, k, v, mask, out, lse, dout, scale,
+                           block_q, block_k)
+    return dq, dk, dv, None
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'block_q',
+                                             'block_k'))
+def flash_attention(q: jax.Array,
+                    k: jax.Array,
+                    v: jax.Array,
+                    mask: Optional[jax.Array] = None,
+                    bias: Optional[jax.Array] = None,
+                    scale: float = 1.0,
+                    block_q: int = 128,
+                    block_k: int = 128) -> jax.Array:
+    """Same contract as `attention_core`.
+
+    q: (B, h, T1, d); k/v: (B, h, T2, d)
+    mask: bool broadcastable to (B, h|1, T1|1, T2), True == attend
+    bias: additive pre-scale bias broadcastable to (B, h|1, T1, T2)
+
+    Differentiable (flash backward) when bias is None; the bias path
+    is forward-only.
+    """
+    if bias is None:
+        return _flash_diff(q, k, v, mask, scale, block_q, block_k)
+    return _fwd_call(q, k, v, mask, bias, scale, block_q, block_k,
+                     want_lse=False)
