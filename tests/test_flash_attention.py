@@ -125,3 +125,35 @@ def test_flash_backward_fully_masked_rows():
     g = jax.grad(lambda q: jnp.sum(flash_attention(
         q, k, v, mask, scale=0.25, block_q=16, block_k=16)))(q)
     np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+@pytest.mark.parametrize('bias_shape', [(1, 2, 48, 40), (2, 2, 48, 40),
+                                        (1, 1, 48, 40)])
+def test_flash_backward_bias_grad(bias_shape):
+    from wenet_tpu.models.transformer.attention import attention_core
+    from wenet_tpu.ops.flash_attention import flash_attention
+    B, h, T1, T2, d = 2, 2, 48, 40, 32
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(B, h, T1, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32)
+    bias = jnp.asarray(rng.randn(*bias_shape) * 0.3, jnp.float32)
+    lens = rng.randint(T2 // 2, T2 + 1, size=(B,))
+    mask = jnp.asarray(
+        np.arange(T2)[None, :] < lens[:, None])[:, None, :]
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_ref(q, k, v, bias):
+        o = attention_core(q, k, v, mask[:, None], scale, bias)
+        return jnp.sum(jnp.tanh(o))
+
+    def loss_fl(q, k, v, bias):
+        o = flash_attention(q, k, v, mask, bias, scale=scale,
+                            block_q=16, block_k=16)
+        return jnp.sum(jnp.tanh(o))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_fl = jax.grad(loss_fl, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=5e-4)

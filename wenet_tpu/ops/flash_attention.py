@@ -190,13 +190,19 @@ def _fwd_call(q, k, v, mask, bias, scale, block_q, block_k,
 # backward (mask path only; bias path is inference-only)
 # ---------------------------------------------------------------------------
 def _bwd_dq_kernel(*refs, scale: float, block_k: int, kv_len: int,
-                   has_mask: bool):
+                   has_mask: bool, has_bias: bool):
+    idx = 3
+    q_ref, k_ref, v_ref = refs[:3]
+    mask_ref = bias_ref = dbias_ref = None
     if has_mask:
-        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-         dq_ref) = refs
-    else:
-        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
-        mask_ref = None
+        mask_ref = refs[idx]
+        idx += 1
+    if has_bias:
+        bias_ref = refs[idx]
+        idx += 1
+    do_ref, lse_ref, delta_ref, dq_ref = refs[idx:idx + 4]
+    if has_bias:
+        dbias_ref = refs[idx + 4]
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, :, 0].astype(jnp.float32)      # (block_q,)
@@ -208,7 +214,11 @@ def _bwd_dq_kernel(*refs, scale: float, block_k: int, kv_len: int,
         v = v_ref[0, pl.dslice(i * block_k, block_k)].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
+        if has_bias:
+            s = s + bias_ref[0, :, pl.dslice(i * block_k,
+                                             block_k)].astype(jnp.float32)
+        s = s * scale
         if has_mask:
             m = mask_ref[0, :, pl.dslice(i * block_k, block_k)] != 0
             s = jnp.where(m, s, NEG_INF)
@@ -218,6 +228,9 @@ def _bwd_dq_kernel(*refs, scale: float, block_k: int, kv_len: int,
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (bq, bk)
         ds = p * (dp - delta[:, None]) * scale
+        if has_bias:
+            dbias_ref[0, :, pl.dslice(i * block_k, block_k)] = \
+                ds.astype(dbias_ref.dtype)
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -228,14 +241,17 @@ def _bwd_dq_kernel(*refs, scale: float, block_k: int, kv_len: int,
 
 
 def _bwd_dkv_kernel(*refs, scale: float, block_q: int, q_len: int,
-                    has_mask: bool):
+                    has_mask: bool, has_bias: bool):
+    idx = 3
+    q_ref, k_ref, v_ref = refs[:3]
+    mask_ref = bias_ref = None
     if has_mask:
-        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-         dk_ref, dv_ref) = refs
-    else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
-         dv_ref) = refs
-        mask_ref = None
+        mask_ref = refs[idx]
+        idx += 1
+    if has_bias:
+        bias_ref = refs[idx]
+        idx += 1
+    do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs[idx:idx + 5]
     k = k_ref[0].astype(jnp.float32)  # (block_k, d)
     v = v_ref[0].astype(jnp.float32)
     block_k, d = k.shape
@@ -251,7 +267,11 @@ def _bwd_dkv_kernel(*refs, scale: float, block_q: int, q_len: int,
                           0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+            preferred_element_type=jnp.float32)  # (bq, bk)
+        if has_bias:
+            s = s + bias_ref[0, pl.dslice(i * block_q,
+                                          block_q)].astype(jnp.float32)
+        s = s * scale
         if has_mask:
             m = mask_ref[0, pl.dslice(i * block_q, block_q)] != 0
             s = jnp.where(m, s, NEG_INF)
@@ -275,7 +295,8 @@ def _bwd_dkv_kernel(*refs, scale: float, block_q: int, q_len: int,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_call(q, k, v, mask, out, lse, dout, scale, block_q, block_k):
+def _bwd_call(q, k, v, mask, bias, out, lse, dout, scale, block_q,
+              block_k):
     B, h, T1, d = q.shape
     T2 = k.shape[2]
     block_q = min(block_q, max(T1, 1))
@@ -303,6 +324,15 @@ def _bwd_call(q, k, v, mask, out, lse, dout, scale, block_q, block_k):
     has_mask = mask is not None or pk > 0
     if has_mask:
         m, hm = _prep_mask(mask, B, T1, T2, pq, pk)
+    has_bias = bias is not None
+    if has_bias:
+        b_ = jnp.broadcast_to(bias, (B,) + bias.shape[1:])
+        if b_.ndim == 3:
+            b_ = b_[:, None]
+        hb = b_.shape[1]
+        b_full = jnp.broadcast_to(b_, (B, b_.shape[1], T1, T2))
+        b_p = jnp.pad(b_full, ((0, 0), (0, 0), (0, pq),
+                               (0, pk))).reshape(B * hb, T1p, T2p)
 
     # dq: grid over q tiles
     in_specs = [
@@ -317,6 +347,12 @@ def _bwd_call(q, k, v, mask, out, lse, dout, scale, block_q, block_k):
             lambda b, i, j, hm=hm: (b * hm + (i if hm > 1 else 0), j,
                                     0)))
         args.append(m)
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, T2p),
+            lambda b, i, j, hb=hb: (b * hb + (i if hb > 1 else 0), j,
+                                    0)))
+        args.append(b_p)
     in_specs += [
         pl.BlockSpec((1, block_q, d), lambda b, i, j: (b * h + i, j, 0)),
         pl.BlockSpec((1, block_q, 128),
@@ -325,15 +361,43 @@ def _bwd_call(q, k, v, mask, out, lse, dout, scale, block_q, block_k):
                      lambda b, i, j: (b * h + i, j, 0)),
     ]
     args += [do_p, lse_p, delta_p]
-    dq = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, d),
+                              lambda b, i, j: (b * h + i, j, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((B * h, T1p, d), q.dtype)]
+    if has_bias:
+        # per-(b,h) dbias row-blocks; broadcast dims reduced below
+        out_specs.append(pl.BlockSpec(
+            (1, block_q, T2p), lambda b, i, j: (b * h + i, j, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B * h, T1p, T2p),
+                                               jnp.float32))
+    res = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
-                          kv_len=T2p, has_mask=has_mask),
+                          kv_len=T2p, has_mask=has_mask,
+                          has_bias=has_bias),
         grid=(B, h, T1p // block_q),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda b, i, j: (b * h + i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * h, T1p, d), q.dtype),
+        out_specs=out_specs if has_bias else out_specs[0],
+        out_shape=out_shapes if has_bias else out_shapes[0],
     )(*args)
+    if has_bias:
+        dq, dbias_full = res
+        dbias = dbias_full.reshape(B, h, T1p, T2p)[:, :, :T1, :T2]
+        # reduce over dims the original bias broadcast over
+        if bias.ndim == 3:
+            target = bias[:, None].shape
+        else:
+            target = bias.shape
+        if target[0] == 1:
+            dbias = jnp.sum(dbias, axis=0, keepdims=True)
+        if target[1] == 1:
+            dbias = jnp.sum(dbias, axis=1, keepdims=True)
+        dbias = dbias.astype(bias.dtype)
+        if bias.ndim == 3:
+            dbias = dbias[:, 0] if target[1] == 1 else dbias.reshape(
+                bias.shape)
+    else:
+        dq = res
+        dbias = None
 
     # dk/dv: grid over kv tiles
     in_specs = [
@@ -348,6 +412,12 @@ def _bwd_call(q, k, v, mask, out, lse, dout, scale, block_q, block_k):
             lambda b, i, j, hm=hm: (b * hm + (i if hm > 1 else 0), 0,
                                     j)))
         args.append(m)
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (1, T1p, block_k),
+            lambda b, i, j, hb=hb: (b * hb + (i if hb > 1 else 0), 0,
+                                    j)))
+        args.append(b_p)
     in_specs += [
         pl.BlockSpec((1, T1p, d), lambda b, i, j: (b * h + i, 0, 0)),
         pl.BlockSpec((1, T1p, 128), lambda b, i, j: (b * h + i, 0, 0)),
@@ -357,7 +427,7 @@ def _bwd_call(q, k, v, mask, out, lse, dout, scale, block_q, block_k):
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale,
                           block_q=block_q, q_len=T1p,
-                          has_mask=has_mask),
+                          has_mask=has_mask, has_bias=has_bias),
         grid=(B, h, T2p // block_k),
         in_specs=in_specs,
         out_specs=[
@@ -374,29 +444,29 @@ def _bwd_call(q, k, v, mask, out, lse, dout, scale, block_q, block_k):
     dq = dq.reshape(B, h, T1p, d)[:, :, :T1]
     dk = dk.reshape(B, h, T2p, d)[:, :, :T2]
     dv = dv.reshape(B, h, T2p, d)[:, :, :T2]
-    return dq, dk, dv
+    return dq, dk, dv, dbias
 
 
 # ---------------------------------------------------------------------------
 # public entry points
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_diff(q, k, v, mask, scale, block_q, block_k):
-    return _fwd_call(q, k, v, mask, None, scale, block_q, block_k,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_diff(q, k, v, mask, bias, scale, block_q, block_k):
+    return _fwd_call(q, k, v, mask, bias, scale, block_q, block_k,
                      want_lse=False)
 
 
-def _flash_diff_fwd(q, k, v, mask, scale, block_q, block_k):
-    out, lse = _fwd_call(q, k, v, mask, None, scale, block_q, block_k,
+def _flash_diff_fwd(q, k, v, mask, bias, scale, block_q, block_k):
+    out, lse = _fwd_call(q, k, v, mask, bias, scale, block_q, block_k,
                          want_lse=True)
-    return out, (q, k, v, mask, out, lse)
+    return out, (q, k, v, mask, bias, out, lse)
 
 
 def _flash_diff_bwd(scale, block_q, block_k, res, dout):
-    q, k, v, mask, out, lse = res
-    dq, dk, dv = _bwd_call(q, k, v, mask, out, lse, dout, scale,
-                           block_q, block_k)
-    return dq, dk, dv, None
+    q, k, v, mask, bias, out, lse = res
+    dq, dk, dv, dbias = _bwd_call(q, k, v, mask, bias, out, lse, dout,
+                                  scale, block_q, block_k)
+    return dq, dk, dv, None, dbias
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
@@ -418,10 +488,8 @@ def flash_attention(q: jax.Array,
     mask: bool broadcastable to (B, h|1, T1|1, T2), True == attend
     bias: additive pre-scale bias broadcastable to (B, h|1, T1, T2)
 
-    Differentiable (flash backward) when bias is None; the bias path
-    is forward-only.
+    Fully differentiable via the flash backward kernels (dbias is
+    materialized blockwise and reduced over broadcast dims, so rel-pos
+    training works too).
     """
-    if bias is None:
-        return _flash_diff(q, k, v, mask, scale, block_q, block_k)
-    return _fwd_call(q, k, v, mask, bias, scale, block_q, block_k,
-                     want_lse=False)
+    return _flash_diff(q, k, v, mask, bias, scale, block_q, block_k)
