@@ -108,3 +108,28 @@ def test_chunk_mask_equivalence_static_chunk():
     variables = enc.init(jax.random.PRNGKey(0), feats, fl)
     ys, masks = enc.apply(variables, feats, fl)
     assert np.all(np.isfinite(np.asarray(ys)))
+
+
+def test_runner_decode_wav_on_device_fbank():
+    import numpy as np
+    import jax.numpy as jnp
+    from wenet_tpu.models.runner import AsrRunner
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    configs = {
+        'input_dim': 80, 'output_dim': 12,
+        'encoder': 'transformer',
+        'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                         'linear_units': 64, 'num_blocks': 1},
+        'decoder': 'transformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 64,
+                         'num_blocks': 1},
+        'model_conf': {'ctc_weight': 0.3},
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    runner = AsrRunner(model, variables)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(2, 16000) * 0.1, jnp.float32)
+    res = runner.decode_wav(['ctc_greedy_search'], wav,
+                            jnp.asarray([16000, 12000]))
+    assert len(res['ctc_greedy_search']) == 2
