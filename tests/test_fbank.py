@@ -103,3 +103,23 @@ def test_native_fbank_matches_numpy():
     got = nf.compute(wav)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_traced_spec_augment():
+    import jax
+    import jax.numpy as jnp
+    from wenet_tpu.ops.spec_augment import (spec_aug, spec_sub,
+                                            spec_trim)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 50, 20), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    out = jax.jit(spec_aug)(key, feats)
+    assert out.shape == feats.shape
+    # some values zeroed, most unchanged
+    z = float(jnp.mean(out == 0.0))
+    assert 0.0 < z < 0.9
+    out2 = jax.jit(spec_sub)(key, feats)
+    assert out2.shape == feats.shape
+    assert float(jnp.mean(out2 != feats)) > 0.0
+    f3, l3 = jax.jit(spec_trim)(key, feats, jnp.asarray([50, 40]))
+    assert np.all(np.asarray(l3) <= np.asarray([50, 40]))
