@@ -153,8 +153,10 @@ class BaseEncoder(nn.Module):
             max_chunk_size=int(100.0 / self.embed.subsampling_rate),
             rng=chunk_rng)
         for layer in self.encoders:
+            # full positional call so nn.remat's static_argnums can pin
+            # `train` (kwargs don't reach jax.checkpoint statics)
             xs, chunk_masks, _, _ = layer(xs, chunk_masks, pos_emb,
-                                          mask_pad, train=train)
+                                          mask_pad, None, None, train)
         if self.normalize_before and self.final_norm:
             xs = self.after_norm(xs)
         return xs, masks
