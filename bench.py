@@ -43,10 +43,10 @@ def main():
                            jnp.asarray([16]),
                            jnp.zeros((1, 4), jnp.int32),
                            jnp.asarray([4]))
-    variables = jax.tree_util.tree_map(
+    variables = jax.device_put(jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x,
-        variables)
+        variables))
 
     @jax.jit
     def decode_fwd(variables, feats, feats_lengths):

@@ -33,10 +33,10 @@ def main():
                            jnp.asarray([16]),
                            jnp.zeros((1, 4), jnp.int32),
                            jnp.asarray([4]))
-    variables = jax.tree_util.tree_map(
+    variables = jax.device_put(jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x,
-        variables)
+        variables))
 
     cfg = StreamingConfig(decoding_chunk_size=16,
                           num_decoding_left_chunks=4,

@@ -28,7 +28,10 @@ class AsrRunner:
                 lambda x: x.astype(dtype)
                 if hasattr(x, 'dtype') and jnp.issubdtype(
                     x.dtype, jnp.floating) else x, variables)
-        self.variables = variables
+        # params must live on device: numpy-leaved pytrees would be
+        # re-uploaded on every jitted call (catastrophic over remote
+        # TPU links)
+        self.variables = jax.device_put(variables)
         self._jitted: Dict[str, object] = {}
         if use_flash_attention:
             # inference-only pallas kernel (dispatch is a no-op off-TPU

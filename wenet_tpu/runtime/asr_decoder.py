@@ -70,7 +70,7 @@ class AsrDecoder:
         WFST decoding (mutually exclusive with lm, analog of the
         reference's with/without-LM split, docs/lm.md)."""
         self.model = model
-        self.variables = variables
+        self.variables = jax.device_put(variables)  # keep on device
         self.tokenizer = tokenizer
         self.opts = opts or DecodeOptions()
         self.feature_pipeline = FeaturePipeline(feature_config)
