@@ -7,6 +7,16 @@ Measures audio-seconds processed per wall-second per chip for the
 flagship U2++ conformer (AIShell-1 shape): encoder full forward + CTC
 log-softmax + greedy argmax, bf16 activations.  Baseline target:
 2000 audio-sec/sec/chip (BASELINE.md).
+
+Methodology notes (important over the remote-TPU tunnel):
+* params are device-resident (jax.device_put) — numpy pytrees would
+  re-upload per call;
+* every iteration gets a *different* input (a per-iteration constant is
+  added) so transport-level caching of identical executions cannot
+  inflate the number;
+* N iterations are dispatched back-to-back and ALL outputs are blocked
+  on, so the wall time covers real device execution, amortizing
+  dispatch latency the way a production decode loop does.
 """
 
 import json
@@ -19,13 +29,8 @@ import numpy as np
 
 def main():
     from __graft_entry__ import _flagship_config
-    from wenet_tpu.models.transformer.attention import (
-        enable_flash_attention)
     from wenet_tpu.utils.init_model import init_model
 
-    # pallas flash attention on the encoder self-attention (36% faster
-    # end-to-end at this shape vs the XLA einsum-softmax path)
-    enable_flash_attention(True, min_len=256)
     configs = _flagship_config()
     model, configs = init_model(None, configs)
 
@@ -35,8 +40,9 @@ def main():
     input_dim = configs['input_dim']
 
     rng = np.random.RandomState(0)
-    feats = jnp.asarray(rng.randn(B, T, input_dim), jnp.bfloat16)
-    feats_lengths = jnp.full((B,), T, jnp.int32)
+    feats = jax.device_put(
+        jnp.asarray(rng.randn(B, T, input_dim), jnp.bfloat16))
+    feats_lengths = jax.device_put(jnp.full((B,), T, jnp.int32))
 
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 16, input_dim)),
@@ -49,26 +55,28 @@ def main():
         variables))
 
     @jax.jit
-    def decode_fwd(variables, feats, feats_lengths):
-        enc, mask = model.apply(variables, feats, feats_lengths,
+    def decode_fwd(variables, feats, feats_lengths, c):
+        enc, mask = model.apply(variables, feats + c, feats_lengths,
                                 method=model.forward_encoder)
         logp = model.apply(variables, enc, method=model.ctc_logprobs)
         hyps = jnp.argmax(logp, axis=-1)
         return hyps, jnp.sum(mask[:, 0], -1)
 
     # warmup / compile
-    out = decode_fwd(variables, feats, feats_lengths)
+    out = decode_fwd(variables, feats, feats_lengths, jnp.bfloat16(0.0))
     jax.block_until_ready(out)
 
-    # 3 trials, report the best — the axon tunnel adds variable
-    # dispatch latency the chip doesn't see
-    iters = 10
+    iters = 20
     best_dt = float('inf')
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = decode_fwd(variables, feats, feats_lengths)
-        jax.block_until_ready(out)
+        outs = [decode_fwd(variables, feats, feats_lengths,
+                           jnp.bfloat16(1e-3 * i))
+                for i in range(iters)]
+        # device executes in-order: fetching the final hyps to host
+        # bounds ALL iterations (block_until_ready alone can return
+        # early through remote-TPU transports)
+        np.asarray(outs[-1][0])
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     audio_sec = B * SECONDS * iters
