@@ -132,3 +132,35 @@ def test_paraformer_decode(paraformer_model):
         assert r.times is not None
         assert len(r.times) == len(r.tokens)
     assert len(results['ctc_greedy_search']) == 2
+
+
+def test_funasr_converter_renames():
+    from wenet_tpu.models.paraformer.convert import (build_config,
+                                                     convert_state_dict)
+    sd = {
+        'predictor.cif_output2.weight': 1,
+        'predictor.cif_conv1d.weight': 2,
+        'predictor.upsample_cnn.weight': 3,
+        'predictor.blstm.weight_ih_l0': 4,
+        'decoder.embed.0.weight': 5,
+        'encoder.encoders.0.self_attn.linear_q_k_v.weight': 6,
+    }
+    out = convert_state_dict(sd)
+    assert out['predictor.tp_output.weight'] == 1
+    assert out['predictor.predictor.cif_conv1d.weight'] == 2
+    assert out['predictor.tp_upsample_cnn.weight'] == 3
+    assert out['predictor.tp_blstm.weight_ih_l0'] == 4
+    assert out['embed.weight'] == 5
+    assert 'encoder.encoders.0.self_attn.linear_q_k_v.weight' in out
+    cfg = build_config({'encoder_conf': {'output_size': 512,
+                                         'pos_enc_class': 'x',
+                                         'selfattention_layer_type': 'y'},
+                        'decoder_conf': {}, 'predictor_conf':
+                        {'upsample_type': 'cnn', 'use_cif1_cnn': True,
+                         'idim': 512}},
+                       'units.txt', 'seg', 'cmvn', 8404)
+    assert cfg['encoder'] == 'sanm_encoder'
+    assert cfg['encoder_conf']['input_layer'] == 'paraformer_dummy'
+    assert 'pos_enc_class' not in cfg['encoder_conf']
+    assert cfg['cif_predictor_conf'] == {'idim': 512}
+    assert cfg['lfr_conf'] == {'lfr_m': 7, 'lfr_n': 6}
