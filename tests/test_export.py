@@ -88,3 +88,51 @@ def test_export_main_writes_artifacts(tiny_setup, tmp_path):
             'decoder_rescore.stablehlo', 'export_meta.json'} <= names
     meta = json.loads((out_dir / 'export_meta.json').read_text())
     assert meta['subsampling_rate'] == 4
+
+
+def test_exported_asr_decoder_streaming(tiny_setup, tmp_path):
+    """Full serving loop from StableHLO artifacts only (the
+    OnnxAsrModel-parity path) — must match the flax AsrDecoder."""
+    import yaml
+    from wenet_tpu.bin.export_model import main
+    from wenet_tpu.runtime.asr_decoder import AsrDecoder, DecodeOptions
+    from wenet_tpu.runtime.exported_model import ExportedAsrDecoder
+    from wenet_tpu.runtime.feature_pipeline import FeaturePipelineConfig
+    from wenet_tpu.text.char_tokenizer import CharTokenizer
+    from wenet_tpu.utils.checkpoint import save_checkpoint
+    model, variables, configs = tiny_setup
+    ckpt = str(tmp_path / 'model')
+    save_checkpoint(variables, ckpt)
+    cfg_path = tmp_path / 'train.yaml'
+    cfg_path.write_text(yaml.dump(configs))
+    out_dir = tmp_path / 'export'
+    main(['--config', str(cfg_path), '--checkpoint', ckpt,
+          '--output_dir', str(out_dir), '--chunk_size', '4',
+          '--num_left_chunks', '2', '--beam', '3',
+          '--max_hyp_len', '16'])
+
+    syms = {'<blank>': 0, '<unk>': 1}
+    for i, ch in enumerate('abcdefghij'):
+        syms[ch] = i + 2
+    tokenizer = CharTokenizer(syms)
+    rng = np.random.RandomState(0)
+    wav = (0.2 * rng.randn(16000)).astype(np.float32)
+
+    def run(dec):
+        for i in range(0, len(wav), 3200):
+            dec.accept_waveform(wav[i:i + 3200])
+            dec.decode()
+        dec.set_input_finished()
+        dec.decode()
+        dec.rescoring()
+        return dec.result[0].sentence
+
+    exp_dec = ExportedAsrDecoder(
+        str(out_dir), tokenizer,
+        DecodeOptions(chunk_size=4, num_left_chunks=2, beam_size=3),
+        FeaturePipelineConfig(num_mel_bins=80))
+    flax_dec = AsrDecoder(
+        model, variables, tokenizer,
+        DecodeOptions(chunk_size=4, num_left_chunks=2, beam_size=3),
+        FeaturePipelineConfig(num_mel_bins=80))
+    assert run(exp_dec) == run(flax_dec)
