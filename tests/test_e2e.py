@@ -134,3 +134,42 @@ def test_embedding_api_on_trained_model(workdir):
     assert isinstance(out['nbest'], list) and out['nbest']
     assert 'sentence' in out['nbest'][0]
     api.wenet_free(h)
+
+
+def test_average_model_over_epochs(workdir):
+    """Average two saved epochs and verify the result loads + is the
+    arithmetic mean (ref bin/average_model.py)."""
+    from wenet_tpu.bin.average_model import main as avg_main
+    import orbax.checkpoint as ocp
+    from wenet_tpu.utils.checkpoint import save_checkpoint
+
+    def load_orbax(path):
+        return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    model_dir = str(workdir / 'exp')
+    if not os.path.exists(os.path.join(model_dir, 'epoch_0')):
+        import pytest
+        pytest.skip('train e2e must run first')
+    # synthesize a second epoch by perturbing epoch_0
+    import jax
+    import jax.numpy as jnp
+    v0 = load_orbax(os.path.join(model_dir, 'epoch_0'))
+    v1 = jax.tree_util.tree_map(
+        lambda x: x + 1.0 if hasattr(x, 'dtype') and
+        jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, v0)
+    save_checkpoint(v1, os.path.join(model_dir, 'epoch_1'),
+                    {'epoch': 1, 'cv_loss': 1.0, 'tag': 'epoch_1'})
+    dst = os.path.join(model_dir, 'avg_2')
+    _run_main(avg_main, ['average_model.py', '--dst_model', dst,
+                         '--src_path', model_dir, '--num', '2'])
+    va = load_orbax(dst)
+    leaves0 = jax.tree_util.tree_leaves(v0)
+    leavesa = jax.tree_util.tree_leaves(va)
+    import numpy as np
+    checked = 0
+    for a, b in zip(leaves0, leavesa):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating) and a.size > 1:
+            np.testing.assert_allclose(np.asarray(b), a + 0.5,
+                                       atol=1e-5)
+            checked += 1
+    assert checked > 10
