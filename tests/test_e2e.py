@@ -173,3 +173,45 @@ def test_average_model_over_epochs(workdir):
                                        atol=1e-5)
             checked += 1
     assert checked > 10
+
+
+def test_decoder_main_rtf(workdir):
+    """decoder_main over the e2e-trained model: result file + RTF path
+    (ref decoder_main.cc flow)."""
+    from wenet_tpu.bin.decoder_main import main as dec_main
+    model_dir = str(workdir / 'exp')
+    if not os.path.exists(os.path.join(model_dir, 'final')):
+        import pytest
+        pytest.skip('train e2e must run first')
+    scp = workdir / 'wav.scp'
+    with open(scp, 'w') as f:
+        for i in range(2):
+            f.write(f'utt{i} {workdir}/utt{i}.wav\n')
+    result = workdir / 'decoded.txt'
+    dec_main(['--model_dir', model_dir, '--wav_scp', str(scp),
+              '--result_file', str(result), '--chunk_size', '4',
+              '--num_left_chunks', '2', '--beam_size', '3'])
+    lines = open(result, encoding='utf-8').read().strip().split('\n')
+    assert len(lines) == 2
+    assert lines[0].startswith('utt0')
+
+
+def test_label_checker(workdir):
+    from wenet_tpu.bin.label_checker import main as lc_main
+    model_dir = str(workdir / 'exp')
+    if not os.path.exists(os.path.join(model_dir, 'final')):
+        import pytest
+        pytest.skip('train e2e must run first')
+    scp = workdir / 'wav2.scp'
+    with open(scp, 'w') as f:
+        f.write(f'utt0 {workdir}/utt0.wav\n')
+    text = workdir / 'check_text'
+    with open(text, 'w') as f:
+        f.write('utt0 你好\n')
+    out = workdir / 'check_out'
+    lc_main(['--model_dir', model_dir, '--wav_scp', str(scp),
+             '--text', str(text), '--result_file', str(out)])
+    content = open(out, encoding='utf-8').read()
+    assert 'utt0' in content and ('OK' in content or
+                                  'SUSPICIOUS' in content or
+                                  'TOO_SHORT' in content)

@@ -40,6 +40,7 @@ def main(argv=None):
         fst_path='', dict_path='', no_lowercase=False)
     dec = build_decoder(dargs)
     model, variables, tokenizer = dec.model, dec.variables, dec.tokenizer
+    num_mel = dec.feature_pipeline.config.num_mel_bins
 
     texts = {}
     with open(args.text, encoding='utf-8') as f:
@@ -57,7 +58,8 @@ def main(argv=None):
                 continue
             key, path = parts[0], parts[1]
             wav, rate = read_wav(path)
-            feats = compute_fbank_np(wav[0] * (1 << 15), num_mel_bins=80,
+            feats = compute_fbank_np(wav[0] * (1 << 15),
+                                     num_mel_bins=num_mel,
                                      sample_rate=rate)
             feats_j = jnp.asarray(feats)[None]
             lens = jnp.asarray([feats.shape[0]])
