@@ -215,3 +215,28 @@ def test_label_checker(workdir):
     assert 'utt0' in content and ('OK' in content or
                                   'SUSPICIOUS' in content or
                                   'TOO_SHORT' in content)
+
+
+def test_cli_transcribe_and_align(workdir, capsys):
+    """`wenet-tpu` CLI paths over the trained model (ref cli flow +
+    --align forced alignment)."""
+    import sys
+    from wenet_tpu.cli.transcribe import main as cli_main
+    model_dir = str(workdir / 'exp')
+    if not os.path.exists(os.path.join(model_dir, 'final')):
+        import pytest
+        pytest.skip('train e2e must run first')
+    wav = f'{workdir}/utt0.wav'
+    old = sys.argv
+    try:
+        sys.argv = ['wenet-tpu', '-m', model_dir, '-t', wav]
+        cli_main()
+        out1 = capsys.readouterr().out
+        assert "'text'" in out1
+        sys.argv = ['wenet-tpu', '-m', model_dir, '--align',
+                    '--label', '你好', wav]
+        cli_main()
+        out2 = capsys.readouterr().out
+        assert "'tokens'" in out2 and '你' in out2
+    finally:
+        sys.argv = old
