@@ -150,3 +150,55 @@ def test_moe_expert_parallel_sharding():
              'target_lengths': jnp.asarray([3, 2])}
     new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics['loss']))
+
+
+def test_zero2_optimizer_state_sharding():
+    """mu/nu adam moments shard over the data axis (ZeRO-2 analog);
+    a train step executes under that layout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wenet_tpu.parallel.mesh import make_mesh, state_shardings
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    from wenet_tpu.utils.train_utils import (create_train_state,
+                                             init_optimizer_and_scheduler,
+                                             make_train_step)
+    configs = {
+        'input_dim': 80, 'output_dim': 10,
+        'encoder': 'transformer',
+        'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                         'linear_units': 64, 'num_blocks': 1},
+        'decoder': 'transformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 64,
+                         'num_blocks': 1},
+        'model_conf': {'ctc_weight': 0.3},
+        'optim': 'adam', 'optim_conf': {'lr': 1e-3},
+        'scheduler': 'warmuplr', 'scheduler_conf': {'warmup_steps': 5},
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    mesh = make_mesh({'data': 8})
+    tx, schedule = init_optimizer_and_scheduler(configs)
+    state = create_train_state(variables, tx)
+    sh = state_shardings(state, mesh, zero2=True)
+    specs = []
+    for kp, s in jax.tree_util.tree_flatten_with_path(
+            sh, is_leaf=lambda x: hasattr(x, 'spec'))[0]:
+        names = [str(getattr(k, 'name', getattr(k, 'key', k)))
+                 for k in kp]
+        if s.spec and s.spec[0] == 'data':
+            specs.append(names)
+    assert specs, 'no optimizer moments were sharded'
+    assert all(any('opt_state' in n for n in names) for names in specs)
+    state = jax.device_put(state, sh)
+    step = jax.jit(make_train_step(model, tx, schedule),
+                   in_shardings=(sh, None, None),
+                   out_shardings=(sh, None))
+    rng = np.random.RandomState(0)
+    batch = {'feats': jnp.asarray(rng.randn(2, 32, 80), jnp.float32),
+             'feats_lengths': jnp.asarray([32, 28]),
+             'target': jnp.asarray([[2, 3, 4, -1], [5, 6, -1, -1]],
+                                   jnp.int32),
+             'target_lengths': jnp.asarray([3, 2])}
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['loss']))

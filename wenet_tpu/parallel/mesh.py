@@ -75,26 +75,58 @@ def param_sharding_rules(params, mesh: Mesh,
 
 
 def state_shardings(state, mesh: Mesh, shard_model_axis: bool = False,
-                    min_dim: int = 512):
+                    min_dim: int = 512, zero2: bool = False):
     """NamedSharding pytree mirroring any state pytree.
 
     2D kernels (and their adam moments, which share shapes) go
     column-parallel over 'model' when enabled and divisible; everything
-    else is replicated."""
+    else is replicated.  zero2=True additionally shards the *optimizer
+    moments* (mu/nu leaves of the opt_state) over the 'data' axis —
+    the optimizer-state partitioning of ZeRO-2/FSDP SHARD_GRAD_OP (ref
+    train_utils.py:238-248, 280-317), at zero model-code cost via
+    GSPMD."""
     has_model = MODEL_AXIS in mesh.axis_names
     msize = mesh.shape[MODEL_AXIS] if has_model else 1
+    dsize = mesh.shape.get(DATA_AXIS, 1)
+
+    if zero2:
+        flat = jax.tree_util.tree_flatten_with_path(state)[0]
+        treedef = jax.tree_util.tree_structure(state)
+        out = []
+        for keypath, x in flat:
+            names = [str(getattr(k, 'name', getattr(k, 'key', k)))
+                     for k in keypath]
+            in_opt = any('opt_state' in n for n in names)
+            is_moment = any(n in ('mu', 'nu') or ".mu" in n or
+                            ".nu" in n for n in names)
+            shape = getattr(x, 'shape', ())
+            if (in_opt and is_moment and len(shape) >= 1
+                    and shape[0] % max(dsize, 1) == 0
+                    and shape[0] >= dsize and dsize > 1):
+                out.append(NamedSharding(
+                    mesh, P(*((DATA_AXIS,) + (None,) *
+                              (len(shape) - 1)))))
+            else:
+                out.append(_rule_single(x, mesh, shard_model_axis,
+                                        has_model, msize, min_dim))
+        return jax.tree_util.tree_unflatten(treedef, out)
 
     def rule(x):
-        shape = getattr(x, 'shape', ())
-        if (shard_model_axis and has_model and len(shape) == 2
-                and shape[1] % msize == 0 and shape[1] >= min_dim):
-            return NamedSharding(mesh, P(None, MODEL_AXIS))
-        if (shard_model_axis and has_model and len(shape) == 3
-                and shape[0] % msize == 0):
-            # stacked MoE expert weights (E, D, H): expert-parallel
-            # over the model axis (GSPMD turns the dense-dispatch
-            # einsums into per-device expert shards + all-reduce)
-            return NamedSharding(mesh, P(MODEL_AXIS, None, None))
-        return replicated(mesh)
+        return _rule_single(x, mesh, shard_model_axis, has_model,
+                            msize, min_dim)
 
     return jax.tree_util.tree_map(rule, state)
+
+
+def _rule_single(x, mesh, shard_model_axis, has_model, msize, min_dim):
+    shape = getattr(x, 'shape', ())
+    if (shard_model_axis and has_model and len(shape) == 2
+            and shape[1] % msize == 0 and shape[1] >= min_dim):
+        return NamedSharding(mesh, P(None, MODEL_AXIS))
+    if (shard_model_axis and has_model and len(shape) == 3
+            and shape[0] % msize == 0):
+        # stacked MoE expert weights (E, D, H): expert-parallel
+        # over the model axis (GSPMD turns the dense-dispatch
+        # einsums into per-device expert shards + all-reduce)
+        return NamedSharding(mesh, P(MODEL_AXIS, None, None))
+    return replicated(mesh)
