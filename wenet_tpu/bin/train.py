@@ -113,8 +113,20 @@ def main():
     # (ref train.py --dtype / autocast)
     compute_dtype = {'bf16': jnp.bfloat16}.get(
         configs.get('dtype', 'fp32'))
+    # sharding_conf: {model_axis: bool, zero2: bool, min_dim: int}
+    # (tp / expert-parallel / ZeRO-2 layouts, docs/parallel.md)
+    sh_conf = configs.get('sharding_conf', {})
+    state_sharding = None
+    if sh_conf.get('model_axis') or sh_conf.get('zero2'):
+        from wenet_tpu.parallel.mesh import state_shardings
+        state_sharding = state_shardings(
+            state, mesh,
+            shard_model_axis=sh_conf.get('model_axis', False),
+            min_dim=sh_conf.get('min_dim', 512),
+            zero2=sh_conf.get('zero2', False))
     train_step = compile_train_step(model, tx, mesh, schedule,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    state_sharding=state_sharding)
     cv_step = jax.jit(make_cv_step(model))
 
     if host_id == 0:
@@ -135,7 +147,9 @@ def main():
     start_epoch = int(configs.get('init_infos', {}).get('epoch', -1)) + 1
     max_epoch = configs.get('max_epoch', 100)
     # put state on the mesh
-    state = jax.device_put(state, replicated(mesh))
+    state = jax.device_put(state, state_sharding
+                           if state_sharding is not None
+                           else replicated(mesh))
     if args.profile_dir and host_id == 0:
         # device-level tracing (the reference has no profiler at all;
         # on TPU xprof shows per-op MXU/HBM utilization)

@@ -167,15 +167,19 @@ def make_cv_step(model):
 
 
 def compile_train_step(model, tx, mesh, schedule=None,
-                       donate: bool = True, compute_dtype=None):
-    """jit the train step with data-sharded batch + replicated state."""
+                       donate: bool = True, compute_dtype=None,
+                       state_sharding=None):
+    """jit the train step with data-sharded batch; state replicated by
+    default or laid out per `state_sharding` (tp / expert-parallel /
+    zero2 — see parallel/mesh.py state_shardings)."""
     step_fn = make_train_step(model, tx, schedule,
                               compute_dtype=compute_dtype)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    st = state_sharding if state_sharding is not None else rep
     return jax.jit(
         step_fn,
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(st, bsh, rep),
+        out_shardings=(st, rep),
         donate_argnums=(0,) if donate else (),
     )
