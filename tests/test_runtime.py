@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from wenet_tpu.runtime.endpoint import CtcEndpoint, CtcEndpointConfig
 from wenet_tpu.runtime.feature_pipeline import FeaturePipeline
@@ -257,3 +258,104 @@ def test_http_roundtrip(streaming_model):
         assert 'sentence' in body['nbest'][0]
     finally:
         server.shutdown()
+
+
+def test_batched_chunk_runner_matches_serial(streaming_model):
+    """Two concurrent sessions batched into one forward must produce
+    the same posteriors as per-session serial decoding."""
+    import concurrent.futures as cf
+    from wenet_tpu.models.transformer.streaming import (
+        StreamingConfig, streaming_att_mask)
+    from wenet_tpu.runtime.batch_runner import BatchedChunkRunner
+
+    model, variables, tokenizer = streaming_model
+    cfg = StreamingConfig(decoding_chunk_size=4,
+                          num_decoding_left_chunks=2,
+                          subsampling_rate=model.encoder.subsampling_rate,
+                          right_context=model.encoder.right_context)
+    chunk_out = (cfg.decoding_window - cfg.right_context - 1) \
+        // cfg.subsampling_rate + 1
+    rng = np.random.RandomState(0)
+    n_chunks = 3
+    feats = [rng.randn(n_chunks, cfg.decoding_window, 80)
+             .astype(np.float32) for _ in range(2)]
+
+    # serial golden
+    def serial(f):
+        att, cnn = model.encoder.zero_cache(1, cfg.required_cache_size)
+        offset, valid = 0, 0
+        logps = []
+        for t in range(n_chunks):
+            mask = streaming_att_mask(1, cfg.required_cache_size,
+                                      chunk_out, valid,
+                                      valid_chunk=chunk_out)
+            ys, att, cnn = model.apply(
+                variables, jnp.asarray(f[t])[None],
+                jnp.asarray(offset), att, cnn, mask,
+                method=model.forward_encoder_chunk)
+            logp = model.apply(variables, ys,
+                               method=model.ctc_activation)
+            logps.append(np.asarray(logp))
+            offset += chunk_out
+            valid = min(valid + chunk_out, cfg.required_cache_size)
+        return np.concatenate(logps, axis=1)
+
+    golden = [serial(f) for f in feats]
+
+    runner = BatchedChunkRunner(model, variables, cfg, max_batch=2,
+                                flush_ms=50.0)
+    try:
+        def session(f):
+            cache = runner.zero_cache()
+            offset, valid = 0, 0
+            logps = []
+            for t in range(n_chunks):
+                fut = runner.submit(f[t], cache, offset, valid,
+                                    chunk_out)
+                ys, logp, cache = fut.result(timeout=120)
+                logps.append(logp)
+                offset += chunk_out
+                valid = min(valid + chunk_out,
+                            cfg.required_cache_size)
+            return np.concatenate(logps, axis=1)
+
+        with cf.ThreadPoolExecutor(2) as ex:
+            outs = list(ex.map(session, feats))
+    finally:
+        runner.close()
+    for got, want in zip(outs, golden):
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_asr_decoder_with_batch_runner(streaming_model):
+    """AsrDecoder wired to the shared batcher matches the plain path."""
+    from wenet_tpu.models.transformer.streaming import StreamingConfig
+    from wenet_tpu.runtime.asr_decoder import AsrDecoder, DecodeOptions
+    from wenet_tpu.runtime.batch_runner import BatchedChunkRunner
+    model, variables, tokenizer = streaming_model
+    opts = DecodeOptions(chunk_size=4, num_left_chunks=2, beam_size=3)
+    cfg = StreamingConfig(decoding_chunk_size=4,
+                          num_decoding_left_chunks=2,
+                          subsampling_rate=model.encoder.subsampling_rate,
+                          right_context=model.encoder.right_context)
+    runner = BatchedChunkRunner(model, variables, cfg, max_batch=4,
+                                flush_ms=2.0)
+    rng = np.random.RandomState(0)
+    wav = (0.2 * rng.randn(16000)).astype(np.float32)
+
+    def run(dec):
+        for i in range(0, len(wav), 3200):
+            dec.accept_waveform(wav[i:i + 3200])
+            dec.decode()
+        dec.set_input_finished()
+        dec.decode()
+        dec.rescoring()
+        return dec.result[0].sentence
+
+    try:
+        a = run(AsrDecoder(model, variables, tokenizer, opts,
+                           batch_runner=runner))
+        b = run(AsrDecoder(model, variables, tokenizer, opts))
+        assert a == b
+    finally:
+        runner.close()

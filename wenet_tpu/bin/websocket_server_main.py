@@ -21,6 +21,10 @@ def get_args():
     parser.add_argument('--blank_threshold', type=float, default=0.8)
     parser.add_argument('--context_path', default=None)
     parser.add_argument('--context_score', type=float, default=6.0)
+    parser.add_argument('--batch_serving', action='store_true',
+                        help='coalesce concurrent sessions into one '
+                             'batched chunk step (TPU MXU utilization)')
+    parser.add_argument('--max_batch', type=int, default=8)
     return parser.parse_args()
 
 
@@ -64,9 +68,23 @@ def main():
                            blank_threshold=args.blank_threshold)
     feat_cfg = FeaturePipelineConfig(num_mel_bins=num_mel)
 
+    batch_runner = None
+    if args.batch_serving:
+        from wenet_tpu.models.transformer.streaming import (
+            StreamingConfig)
+        from wenet_tpu.runtime.batch_runner import BatchedChunkRunner
+        cfg = StreamingConfig(
+            decoding_chunk_size=args.chunk_size,
+            num_decoding_left_chunks=args.num_left_chunks,
+            subsampling_rate=model.encoder.subsampling_rate,
+            right_context=model.encoder.right_context)
+        batch_runner = BatchedChunkRunner(model, variables, cfg,
+                                          max_batch=args.max_batch)
+
     def decoder_factory():
         return AsrDecoder(model, variables, tokenizer, opts, feat_cfg,
-                          ep, context_graph)
+                          ep, context_graph,
+                          batch_runner=batch_runner)
 
     WebSocketServer(args.host, args.port, decoder_factory).start()
 

@@ -65,7 +65,8 @@ class AsrDecoder:
                  feature_config: Optional[FeaturePipelineConfig] = None,
                  endpoint_config: Optional[CtcEndpointConfig] = None,
                  context_graph=None, lm=None, lm_weight: float = 0.5,
-                 tlg_fst=None, word_table=None, post_processor=None):
+                 tlg_fst=None, word_table=None, post_processor=None,
+                 batch_runner=None):
         """lm: ARPA NgramLM for shallow fusion; tlg_fst: TextFst for
         WFST decoding (mutually exclusive with lm, analog of the
         reference's with/without-LM split, docs/lm.md)."""
@@ -84,6 +85,8 @@ class AsrDecoder:
         self.endpointer = CtcEndpoint(endpoint_config, frame_shift_ms)
         self.word_table = word_table
         self.post_processor = post_processor
+        # shared cross-session dynamic batcher (runtime/batch_runner.py)
+        self.batch_runner = batch_runner
         if tlg_fst is not None:
             from wenet_tpu.runtime.wfst_beam_search import (
                 CtcWfstBeamSearch)
@@ -203,13 +206,20 @@ class AsrDecoder:
             chunk = np.pad(chunk, ((0, pad), (0, 0)))
         chunk_out = (cfg.decoding_window - context) // \
             cfg.subsampling_rate + 1
-        att_mask = streaming_att_mask(1, cfg.required_cache_size,
-                                      chunk_out, self.valid_cache,
-                                      valid_chunk=real_out)
-        ys, logp, att_cache, cnn_cache = self._chunk_fn()(
-            self.variables, jnp.asarray(chunk)[None],
-            jnp.asarray(self.offset), att_cache, cnn_cache, att_mask)
-        self.state = (att_cache, cnn_cache)
+        if self.batch_runner is not None:
+            fut = self.batch_runner.submit(chunk, (att_cache, cnn_cache),
+                                           self.offset, self.valid_cache,
+                                           real_out)
+            ys, logp, self.state = fut.result()
+        else:
+            att_mask = streaming_att_mask(1, cfg.required_cache_size,
+                                          chunk_out, self.valid_cache,
+                                          valid_chunk=real_out)
+            ys, logp, att_cache, cnn_cache = self._chunk_fn()(
+                self.variables, jnp.asarray(chunk)[None],
+                jnp.asarray(self.offset), att_cache, cnn_cache,
+                att_mask)
+            self.state = (att_cache, cnn_cache)
         self.offset += real_out
         self.valid_cache = min(self.valid_cache + real_out,
                                cfg.required_cache_size)

@@ -1,0 +1,156 @@
+"""Server-side dynamic batching of concurrent streaming sessions.
+
+The reference serves one decode thread per connection, each running its
+own forward (ref: runtime/core/websocket/websocket_server.cc) — fine on
+CPU, wasteful on a TPU where a chunk step at B=1 leaves the MXU idle.
+Because this framework's streaming state is fixed-shape (same cache and
+chunk geometry for every session with the same DecodeOptions), chunks
+from many live sessions can be stacked on the batch axis and advanced
+in ONE jitted step.
+
+`BatchedChunkRunner` owns a worker thread: sessions `submit()` their
+(chunk, caches, offset, valid) and get a Future; the worker coalesces
+up to `max_batch` pending requests (waiting at most `flush_ms` for
+stragglers), runs the shared batched step, and scatters results back.
+Per-session offsets are supported by the batched offset vector; masks
+are built per row from each session's cache validity.
+"""
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Any, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wenet_tpu.models.transformer.streaming import (StreamingConfig,
+                                                    streaming_att_mask)
+
+
+@dataclass
+class _Request:
+    chunk: np.ndarray          # (decoding_window, mel) padded
+    cache: Any                 # (att_cache, cnn_cache) pytree, B=1
+    offset: int
+    valid_cache: int
+    real_out: int
+    future: Future
+
+
+class BatchedChunkRunner:
+
+    def __init__(self, model, variables, cfg: StreamingConfig,
+                 max_batch: int = 8, flush_ms: float = 5.0):
+        self.model = model
+        self.variables = jax.device_put(variables)
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.flush_ms = flush_ms
+        self.chunk_out = (cfg.decoding_window - cfg.right_context - 1) \
+            // cfg.subsampling_rate + 1
+        self._q: 'queue.Queue[Optional[_Request]]' = queue.Queue()
+        self._jitted = {}
+        self._thread = threading.Thread(target=self._worker,
+                                        daemon=True)
+        self._thread.start()
+
+    # -- session API ----------------------------------------------------
+    def zero_cache(self):
+        return self.model.encoder.zero_cache(
+            1, self.cfg.required_cache_size)
+
+    def submit(self, chunk: np.ndarray, cache, offset: int,
+               valid_cache: int, real_out: int) -> Future:
+        fut: Future = Future()
+        self._q.put(_Request(chunk, cache, offset, valid_cache,
+                             real_out, fut))
+        return fut
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    # -- worker ---------------------------------------------------------
+    def _step_fn(self, B: int):
+        if B not in self._jitted:
+            model = self.model
+
+            @jax.jit
+            def fn(variables, xs, offsets, att_cache, cnn_cache,
+                   att_mask):
+                ys, att, cnn = model.apply(
+                    variables, xs, offsets, att_cache, cnn_cache,
+                    att_mask, method=model.forward_encoder_chunk)
+                logp = model.apply(variables, ys,
+                                   method=model.ctc_activation)
+                return ys, logp, att, cnn
+
+            self._jitted[B] = fn
+        return self._jitted[B]
+
+    def _worker(self):
+        while True:
+            req = self._q.get()
+            if req is None:
+                return
+            batch: List[_Request] = [req]
+            # coalesce whatever arrives within the flush window
+            import time
+            deadline = time.perf_counter() + self.flush_ms / 1000.0
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)
+                    break
+                batch.append(nxt)
+            try:
+                self._run(batch)
+            except Exception as e:  # noqa: BLE001 — deliver to callers
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run(self, batch: List[_Request]):
+        B = len(batch)
+        xs = jnp.asarray(np.stack([r.chunk for r in batch]))
+        offsets = jnp.asarray([r.offset for r in batch], jnp.int32)
+        att_cache = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=1)
+            if leaves[0].ndim >= 2 else jnp.stack(leaves),
+            *[r.cache[0] for r in batch]) if B > 1 else \
+            batch[0].cache[0]
+        cnn_cache = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=1)
+            if leaves[0].ndim >= 2 else jnp.stack(leaves),
+            *[r.cache[1] for r in batch]) if B > 1 else \
+            batch[0].cache[1]
+        masks = np.concatenate([
+            np.asarray(streaming_att_mask(
+                1, self.cfg.required_cache_size, self.chunk_out,
+                r.valid_cache, valid_chunk=r.real_out))
+            for r in batch], axis=0)
+        ys, logp, att, cnn = self._step_fn(B)(
+            self.variables, xs, offsets, att_cache, cnn_cache,
+            jnp.asarray(masks))
+        ys_np = np.asarray(ys)
+        logp_np = np.asarray(logp)
+        for i, r in enumerate(batch):
+            new_att = jax.tree_util.tree_map(
+                lambda x: x[:, i:i + 1] if x.ndim >= 2 else x[i:i + 1],
+                att) if B > 1 else att
+            new_cnn = jax.tree_util.tree_map(
+                lambda x: x[:, i:i + 1] if x.ndim >= 2 else x[i:i + 1],
+                cnn) if B > 1 else cnn
+            r.future.set_result(
+                (ys_np[i:i + 1], logp_np[i:i + 1],
+                 (new_att, new_cnn)))
