@@ -133,3 +133,44 @@ def test_runner_decode_wav_on_device_fbank():
     res = runner.decode_wav(['ctc_greedy_search'], wav,
                             jnp.asarray([16000, 12000]))
     assert len(res['ctc_greedy_search']) == 2
+
+
+def test_quantized_runner_matches_fp():
+    """int8 weight-only runner vs fp32: greedy tokens identical, ctc
+    posteriors close (the quantized-export analog)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wenet_tpu.models.runner import AsrRunner
+    from wenet_tpu.ops.quant import quantized_bytes
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    configs = {
+        'input_dim': 80, 'output_dim': 30,
+        'encoder': 'conformer',
+        'encoder_conf': {'output_size': 64, 'attention_heads': 2,
+                         'linear_units': 256, 'num_blocks': 2,
+                         'cnn_module_kernel': 7,
+                         'cnn_module_norm': 'layer_norm'},
+        'decoder': 'transformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 256,
+                         'num_blocks': 1},
+        'model_conf': {'ctc_weight': 0.3},
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    fp, q = quantized_bytes(variables)
+    assert q < 0.5 * fp  # most weight bytes are int8 now
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 120, 80), jnp.float32)
+    fl = jnp.asarray([120, 100])
+    r_fp = AsrRunner(model, variables)
+    r_q = AsrRunner(model, variables, quantize=True)
+    modes = ['ctc_greedy_search', 'attention_rescoring']
+    a = r_fp.decode(modes, feats, fl, beam_size=3)
+    b = r_q.decode(modes, feats, fl, beam_size=3)
+    # greedy argmax should be nearly identical under weight-only int8
+    agree = np.mean([x == y for x, y in
+                     zip(a['ctc_greedy_search'][0].tokens,
+                         b['ctc_greedy_search'][0].tokens)]
+                    or [1.0])
+    assert agree >= 0.9
+    assert len(b['attention_rescoring']) == 2

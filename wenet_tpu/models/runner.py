@@ -21,18 +21,31 @@ from wenet_tpu.models.transformer.search import (DecodeResult,
 class AsrRunner:
 
     def __init__(self, model, variables, dtype=None,
-                 use_flash_attention: bool = True):
+                 use_flash_attention: bool = True,
+                 quantize: bool = False):
+        """quantize=True stores weights int8 (per-channel, weight-only
+        — the quantized-export analog, ref export_jit.py:39-60);
+        dequantization fuses into the jitted programs."""
         self.model = model
-        if dtype is not None:
+        if dtype is not None and not quantize:
             variables = jax.tree_util.tree_map(
                 lambda x: x.astype(dtype)
                 if hasattr(x, 'dtype') and jnp.issubdtype(
                     x.dtype, jnp.floating) else x, variables)
+        self._quant = None
+        if quantize:
+            from wenet_tpu.ops.quant import quantize_int8
+            qvars, scales = quantize_int8(variables)
+            self._quant = (jax.device_put(qvars),
+                           jax.device_put(scales),
+                           dtype or jnp.bfloat16)
+            variables = qvars  # placeholder; _fn dequantizes
         # params must live on device: numpy-leaved pytrees would be
         # re-uploaded on every jitted call (catastrophic over remote
         # TPU links)
         self.variables = jax.device_put(variables)
         self._jitted: Dict[str, object] = {}
+        self._fp_cache = None
         if use_flash_attention:
             # inference-only pallas kernel (dispatch is a no-op off-TPU
             # and below min_len; training paths keep the XLA attention,
@@ -41,13 +54,34 @@ class AsrRunner:
                 enable_flash_attention)
             enable_flash_attention(True, min_len=256)
 
+    def _maybe_dequant(self, variables):
+        if self._quant is None:
+            return variables
+        from wenet_tpu.ops.quant import dequantize
+        _, scales, dtype = self._quant
+        return dequantize(variables, scales, dtype)
+
+    def _variables_fp(self):
+        """Full-precision (bf16) copy for paths that take variables
+        opaquely (AR beam search / rescoring); cached on device."""
+        if self._quant is None:
+            return self.variables
+        if self._fp_cache is None:
+            self._fp_cache = jax.device_put(jax.jit(
+                self._maybe_dequant)(self.variables))
+        return self._fp_cache
+
     def _fn(self, name):
         if name not in self._jitted:
             model = self.model
             method = getattr(model, name)
+            quant = self._quant
+
+            del quant
 
             def fn(variables, *args):
-                return model.apply(variables, *args, method=method)
+                return model.apply(self._maybe_dequant(variables),
+                                   *args, method=method)
 
             self._jitted[name] = jax.jit(fn)
         return self._jitted[name]
@@ -65,7 +99,8 @@ class AsrRunner:
                 num_decoding_left_chunks=num_decoding_left_chunks,
                 subsampling_rate=self.model.encoder.subsampling_rate,
                 right_context=self.model.encoder.right_context)
-            return forward_chunk_by_chunk(self.model, self.variables,
+            return forward_chunk_by_chunk(self.model,
+                                          self._variables_fp(),
                                           feats, cfg)
         # full-context (or chunk-masked) forward
         model = self.model
@@ -73,7 +108,8 @@ class AsrRunner:
         if key not in self._jitted:
 
             def fn(variables, feats, feats_lengths):
-                return model.apply(variables, feats, feats_lengths,
+                return model.apply(self._maybe_dequant(variables),
+                                   feats, feats_lengths,
                                    decoding_chunk_size,
                                    num_decoding_left_chunks,
                                    method=model.forward_encoder)
@@ -88,7 +124,8 @@ class AsrRunner:
         if key not in self._jitted:
 
             def fn(variables, encoder_out):
-                return model.apply(variables, encoder_out, blank_penalty,
+                return model.apply(self._maybe_dequant(variables),
+                                   encoder_out, blank_penalty,
                                    blank_id, method=model.ctc_logprobs)
 
             self._jitted[key] = jax.jit(fn)
@@ -144,7 +181,7 @@ class AsrRunner:
             if 'rnnt_beam' not in self._jitted:
                 self._jitted['rnnt_beam'] = jax.jit(
                     lambda v, e, el: model.apply(
-                        v, e, el, beam_size,
+                        self._maybe_dequant(v), e, el, beam_size,
                         method=model.beam_search))
             tokens, lens, scores = self._jitted['rnnt_beam'](
                 self.variables, encoder_out, encoder_lens)
@@ -162,8 +199,8 @@ class AsrRunner:
             ]
         if 'attention' in methods:
             results['attention'] = attention_beam_search(
-                self.model, self.variables, encoder_out, encoder_mask,
-                beam_size, length_penalty, infos)
+                self.model, self._variables_fp(), encoder_out,
+                encoder_mask, beam_size, length_penalty, infos)
         if 'ctc_greedy_search' in methods:
             results['ctc_greedy_search'] = ctc_greedy_search(
                 ctc_probs, encoder_lens, blank_id)
@@ -177,7 +214,7 @@ class AsrRunner:
                 results['ctc_prefix_beam_search'] = ctc_prefix_result
         if 'attention_rescoring' in methods:
             results['attention_rescoring'] = attention_rescoring(
-                self.model, self.variables, ctc_prefix_result,
+                self.model, self._variables_fp(), ctc_prefix_result,
                 encoder_out, encoder_lens, ctc_weight, reverse_weight,
                 infos)
         return results
