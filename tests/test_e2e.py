@@ -240,3 +240,29 @@ def test_cli_transcribe_and_align(workdir, capsys):
         assert "'tokens'" in out2 and '你' in out2
     finally:
         sys.argv = old
+
+
+def test_train_on_device_frontend(workdir, tmp_path):
+    """on_device_frontend mode: raw wavs batched, fbank+SpecAug fused
+    into the jitted train step; training completes and loss is
+    finite."""
+    import yaml
+    from wenet_tpu.bin.train import main as train_main
+    cfg = yaml.safe_load(open(workdir / 'train.yaml'))
+    cfg['dataset_conf']['on_device_frontend'] = True
+    cfg['dataset_conf']['spec_aug'] = True
+    cfg['dataset_conf']['spec_aug_conf'] = {'num_t_mask': 1,
+                                            'num_f_mask': 1,
+                                            'max_t': 10, 'max_f': 5}
+    cfg['max_epoch'] = 1
+    p = tmp_path / 'odf.yaml'
+    p.write_text(yaml.dump(cfg))
+    model_dir = str(tmp_path / 'exp_odf')
+    _run_main(train_main, [
+        'train.py', '--config', str(p),
+        '--train_data', str(workdir / 'data.list'),
+        '--cv_data', str(workdir / 'data.list'),
+        '--model_dir', model_dir,
+        '--tensorboard_dir', str(tmp_path / 'tb'),
+    ])
+    assert os.path.exists(os.path.join(model_dir, 'final'))

@@ -91,6 +91,7 @@ def main():
     cv_conf['spec_aug'] = False
     cv_conf['spec_sub'] = False
     cv_conf['spec_trim'] = False
+    cv_conf['on_device_frontend'] = False  # CV uses host features
     cv_conf['shuffle'] = False
     cv_conf['list_shuffle'] = False
     cv_conf['cycle'] = 1
@@ -124,9 +125,24 @@ def main():
             shard_model_axis=sh_conf.get('model_axis', False),
             min_dim=sh_conf.get('min_dim', 512),
             zero2=sh_conf.get('zero2', False))
+    frontend_conf = None
+    if configs['dataset_conf'].get('on_device_frontend', False):
+        dc = configs['dataset_conf']
+        frontend_conf = dict(dc.get('fbank_conf', {}))
+        frontend_conf['sample_rate'] = dc.get('resample_conf', {}).get(
+            'resample_rate', 16000)
+        frontend_conf['spec_aug'] = dc.get('spec_aug', True)
+        frontend_conf['spec_aug_conf'] = dc.get('spec_aug_conf', {})
+        frontend_conf['spec_sub'] = dc.get('spec_sub', False)
+        frontend_conf['spec_sub_conf'] = dc.get('spec_sub_conf', {})
+        # traced spec_aug has no time-warp; drop host-only keys
+        frontend_conf['spec_aug_conf'] = {
+            k: v for k, v in frontend_conf['spec_aug_conf'].items()
+            if k in ('num_t_mask', 'num_f_mask', 'max_t', 'max_f')}
     train_step = compile_train_step(model, tx, mesh, schedule,
                                     compute_dtype=compute_dtype,
-                                    state_sharding=state_sharding)
+                                    state_sharding=state_sharding,
+                                    frontend_conf=frontend_conf)
     cv_step = jax.jit(make_cv_step(model))
 
     if host_id == 0:

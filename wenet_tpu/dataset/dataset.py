@@ -72,9 +72,13 @@ def Dataset(data_type: str,
     if conf.get('speed_perturb', False):
         dataset = dataset.map(processor.speed_perturb)
 
+    on_device_frontend = conf.get('on_device_frontend', False)
     feats_type = conf.get('feats_type', 'fbank')
     assert feats_type in ['fbank', 'mfcc', 'log_mel_spectrogram']
-    if feats_type == 'fbank':
+    if on_device_frontend:
+        # featurization + SpecAug happen inside the jitted train step
+        dataset = dataset.map(processor.raw_wav_feats)
+    elif feats_type == 'fbank':
         dataset = dataset.map(
             partial(processor.compute_fbank,
                     **conf.get('fbank_conf', {})))
@@ -86,13 +90,13 @@ def Dataset(data_type: str,
             partial(processor.compute_log_mel_spectrogram,
                     **conf.get('log_mel_spectrogram_conf', {})))
 
-    if conf.get('spec_aug', True):
+    if conf.get('spec_aug', True) and not on_device_frontend:
         dataset = dataset.map(
             partial(processor.spec_aug, **conf.get('spec_aug_conf', {})))
-    if conf.get('spec_sub', False):
+    if conf.get('spec_sub', False) and not on_device_frontend:
         dataset = dataset.map(
             partial(processor.spec_sub, **conf.get('spec_sub_conf', {})))
-    if conf.get('spec_trim', False):
+    if conf.get('spec_trim', False) and not on_device_frontend:
         dataset = dataset.map(
             partial(processor.spec_trim,
                     **conf.get('spec_trim_conf', {})))

@@ -92,6 +92,16 @@ def compute_fbank(sample: dict, num_mel_bins: int = 23,
     return sample
 
 
+def raw_wav_feats(sample: dict) -> dict:
+    """On-device-frontend mode: carry the raw waveform as the 'feat'
+    (S, 1) so sorting/batching/padding work unchanged; the train step
+    computes fbank+SpecAug inside jit (ops/fbank.py, ops/spec_augment)."""
+    import numpy as np
+    sample['feat'] = np.asarray(sample['wav'][0],
+                                np.float32)[:, None]
+    return sample
+
+
 def compute_w2vbert_fbank(sample: dict, num_mel_bins: int = 23,
                           frame_length: int = 25, frame_shift: int = 10,
                           dither: float = 0.0) -> dict:

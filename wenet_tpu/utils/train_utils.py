@@ -80,7 +80,8 @@ def create_train_state(variables, tx) -> TrainState:
                       extra_vars=extra)
 
 
-def make_train_step(model, tx, schedule=None, compute_dtype=None):
+def make_train_step(model, tx, schedule=None, compute_dtype=None,
+                    frontend_conf=None):
     """Build the pure train step: (state, batch, rng) -> (state, metrics).
 
     batch: dict(feats, feats_lengths, target, target_lengths).
@@ -89,7 +90,14 @@ def make_train_step(model, tx, schedule=None, compute_dtype=None):
     compute_dtype: jnp.bfloat16 for mixed precision — params/grads/adam
     state stay fp32, the forward/backward matmuls run bf16 (the TPU
     analog of the reference's autocast, train_utils.py:669-702); losses
-    are already accumulated in fp32 internally."""
+    are already accumulated in fp32 internally.
+
+    frontend_conf: when set, batches carry raw waveform as feats
+    (B, S, 1) (dataset on_device_frontend mode) and the front end —
+    kaldi fbank + SpecAugment/SpecSub — runs INSIDE this jitted step
+    (ops/fbank.py + ops/spec_augment.py), fully fused with the model.
+    Keys: num_mel_bins, frame_length, frame_shift, dither, sample_rate,
+    spec_aug(+conf), spec_sub(+conf)."""
 
     def _cast(tree):
         if compute_dtype is None:
@@ -99,9 +107,38 @@ def make_train_step(model, tx, schedule=None, compute_dtype=None):
             if hasattr(x, 'dtype') and jnp.issubdtype(
                 x.dtype, jnp.floating) else x, tree)
 
+    def _frontend(batch, rng):
+        from wenet_tpu.ops.fbank import compute_fbank
+        from wenet_tpu.ops.spec_augment import spec_aug, spec_sub
+        fc = frontend_conf
+        wav = batch['feats'][..., 0]  # (B, S)
+        sr = fc.get('sample_rate', 16000)
+        r_dither, r_aug, r_sub = jax.random.split(rng, 3)
+        feats = compute_fbank(
+            wav * (1 << 15),
+            num_mel_bins=fc.get('num_mel_bins', 80),
+            frame_length_ms=fc.get('frame_length', 25),
+            frame_shift_ms=fc.get('frame_shift', 10),
+            sample_rate=sr, dither=fc.get('dither', 0.0),
+            rng=r_dither if fc.get('dither', 0.0) else None)
+        shift = sr * fc.get('frame_shift', 10) // 1000
+        flen = sr * fc.get('frame_length', 25) // 1000
+        feats_lengths = jnp.maximum(
+            (batch['feats_lengths'] - flen) // shift + 1, 0)
+        if fc.get('spec_aug', True):
+            feats = spec_aug(r_aug, feats,
+                             **fc.get('spec_aug_conf', {}))
+        if fc.get('spec_sub', False):
+            feats = spec_sub(r_sub, feats,
+                             **fc.get('spec_sub_conf', {}))
+        return dict(batch, feats=feats, feats_lengths=feats_lengths)
+
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         dropout_rng, chunk_rng = jax.random.split(rng)
+        if frontend_conf is not None:
+            fe_rng = jax.random.fold_in(rng, 7)
+            batch = _frontend(batch, fe_rng)
         batch = dict(batch, feats=_cast(batch['feats']))
 
         def loss_fn(params):
@@ -168,12 +205,13 @@ def make_cv_step(model):
 
 def compile_train_step(model, tx, mesh, schedule=None,
                        donate: bool = True, compute_dtype=None,
-                       state_sharding=None):
+                       state_sharding=None, frontend_conf=None):
     """jit the train step with data-sharded batch; state replicated by
     default or laid out per `state_sharding` (tp / expert-parallel /
     zero2 — see parallel/mesh.py state_shardings)."""
     step_fn = make_train_step(model, tx, schedule,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              frontend_conf=frontend_conf)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     st = state_sharding if state_sharding is not None else rep
