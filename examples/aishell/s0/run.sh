@@ -18,7 +18,7 @@ mesh="data=-1"             # all local devices on the data axis
 average_num=30
 decode_modes="ctc_greedy_search ctc_prefix_beam_search attention attention_rescoring"
 
-. tools/parse_options.sh 2>/dev/null || true
+. ../../../tools/parse_options.sh
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   echo "stage 0: data preparation (expects kaldi-style wav.scp/text per set)"

@@ -16,7 +16,7 @@ bpe_size=5000
 average_num=30
 decode_modes="ctc_greedy_search ctc_prefix_beam_search attention attention_rescoring"
 
-. ../../aishell/s0/tools/parse_options.sh 2>/dev/null || true
+. ../../../tools/parse_options.sh
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   echo "stage 0: expects kaldi-style data/{set}/wav.scp,text"
