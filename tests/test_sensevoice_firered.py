@@ -70,3 +70,39 @@ def test_sensevoice_loss():
     out = model.apply(variables, feats, fl, tgt, tl)
     assert np.isfinite(float(out['loss']))
     assert np.isfinite(float(out['loss_context']))
+
+
+def test_firered_converter_renames():
+    from wenet_tpu.models.firered.convert import convert_state_dict
+    sd = {
+        'encoder.layer_stack.0.mhsa.w_qs.weight': 1,
+        'encoder.layer_stack.0.ffn1.net.1.weight': 2,
+        'encoder.layer_stack.0.ffn1.net.0.weight': 3,
+        'encoder.layer_stack.0.conv.pre_layer_norm.weight': 4,
+        'encoder.layer_stack.0.conv.batch_norm.weight': 5,
+        'decoder.layer_stack.1.cross_attn.fc.weight': 6,
+        'decoder.token_embedding.weight': 7,
+    }
+    out = convert_state_dict(sd)
+    assert out['encoder.encoders.0.self_attn.linear_q.weight'] == 1
+    assert out['encoder.encoders.0.feed_forward_macaron.w_1.weight'] == 2
+    assert out['encoder.encoders.0.norm_ff_macaron.weight'] == 3
+    assert out['encoder.encoders.0.norm_conv.weight'] == 4
+    assert out['encoder.encoders.0.conv_module.norm.weight'] == 5
+    assert out['decoder.decoders.1.src_attn.linear_out.weight'] == 6
+    assert out['decoder.embed.0.weight'] == 7
+
+
+def test_sensevoice_converter_config():
+    from wenet_tpu.models.sensevoice.convert import (build_config,
+                                                     convert_state_dict)
+    cfg = build_config({'encoder_conf': {'output_size': 512,
+                                         'pos_enc_class': 'x',
+                                         'selfattention_layer_type': 'y'}},
+                       'chn_jpn_yue_eng_ko_spectok.bpe.model')
+    assert cfg['encoder'] == 'sanm_encoder_with_tp'
+    assert cfg['model'] == 'sensevoice_small'
+    assert cfg['lfr_conf']['lfr_m'] == 7
+    sd = convert_state_dict({'a.weight': 1,
+                             'bn.num_batches_tracked': 2})
+    assert sd == {'a.weight': 1}
