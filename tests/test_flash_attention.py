@@ -157,3 +157,70 @@ def test_flash_backward_bias_grad(bias_shape):
     for a, b in zip(g_ref, g_fl):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-5, rtol=5e-4)
+
+
+def test_relpos_flash_matches_reference():
+    from wenet_tpu.ops.flash_attention import (_relpos_reference,
+                                               flash_attention_relpos)
+    B, h, T1, T2, d = 2, 2, 40, 56, 32
+    rng = np.random.RandomState(7)
+    q1 = jnp.asarray(rng.randn(B, h, T1, d), jnp.float32)
+    q2 = jnp.asarray(rng.randn(B, h, T1, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32)
+    p = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32)
+    lens = rng.randint(T2 // 2, T2 + 1, size=(B,))
+    mask = jnp.asarray(
+        np.arange(T2)[None, :] < lens[:, None])[:, None, :]
+    scale = 1.0 / np.sqrt(d)
+    ref = _relpos_reference(q1, q2, k, p, v, mask[:, None], scale)
+    got = flash_attention_relpos(q1, q2, k, p, v, mask, scale,
+                                 16, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5)
+
+    # gradients (vjp path recomputes via the reference formulation)
+    def loss_f(q1, q2, k, p, v):
+        return jnp.sum(jnp.tanh(flash_attention_relpos(
+            q1, q2, k, p, v, mask, scale, 16, 16)))
+
+    def loss_r(q1, q2, k, p, v):
+        return jnp.sum(jnp.tanh(_relpos_reference(
+            q1, q2, k, p, v, mask[:, None], scale)))
+
+    g_f = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(q1, q2, k, p, v)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(q1, q2, k, p, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
+
+
+def test_relpos_attention_module_flash_dispatch():
+    """RelPositionMultiHeadedAttention output unchanged when the flash
+    dispatch is on."""
+    from wenet_tpu.models.transformer import attention as A
+    from wenet_tpu.models.transformer.embedding import (
+        sinusoidal_position_encoding)
+    B, T, D, H = 2, 24, 32, 2
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    pos = jnp.broadcast_to(sinusoidal_position_encoding(0, T, D),
+                           (B, T, D))
+    mask = jnp.asarray(np.arange(T)[None, :] <
+                       np.asarray([T, T - 7])[:, None])[:, None, :]
+    mod = A.RelPositionMultiHeadedAttention(n_head=H, n_feat=D)
+    variables = mod.init(jax.random.PRNGKey(0), x, x, x, mask, pos)
+    base, _ = mod.apply(variables, x, x, x, mask, pos)
+    try:
+        A.enable_flash_attention(True, min_len=8)
+        # force dispatch despite CPU backend (interpret fixture active)
+        A._FLASH['enabled'] = True
+        import wenet_tpu.models.transformer.attention as AA
+        orig = AA._flash_eligible
+        AA._flash_eligible = lambda q, k: True
+        flashed, _ = mod.apply(variables, x, x, x, mask, pos)
+        AA._flash_eligible = orig
+    finally:
+        A.enable_flash_attention(False, min_len=512)
+    np.testing.assert_allclose(np.asarray(flashed), np.asarray(base),
+                               atol=2e-5)

@@ -288,6 +288,16 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
 
         u = self.pos_bias_u.astype(q.dtype)[None, :, None, :]
         w = self.pos_bias_v.astype(q.dtype)[None, :, None, :]
+        if _flash_eligible(q, k):
+            # fused rel-pos flash: never materializes (T1, T2) scores
+            # or the matrix_bd bias in HBM
+            from wenet_tpu.ops.flash_attention import (
+                flash_attention_relpos)
+            p_b = jnp.broadcast_to(p, (q.shape[0],) + p.shape[1:])
+            ctx = flash_attention_relpos(
+                q + u, q + w, k, p_b, v, mask,
+                scale=1.0 / math.sqrt(self.d_k))
+            return self._finish(ctx), new_cache
         matrix_ac = jnp.einsum('bhqd,bhkd->bhqk', q + u, k,
                                preferred_element_type=jnp.float32)
         matrix_bd = jnp.einsum('bhqd,bhkd->bhqk', q + w, p,

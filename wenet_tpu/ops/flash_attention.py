@@ -493,3 +493,146 @@ def flash_attention(q: jax.Array,
     training works too).
     """
     return _flash_diff(q, k, v, mask, bias, scale, block_q, block_k)
+
+
+# ---------------------------------------------------------------------------
+# rel-pos flash: s = q1·k^T + q2·p^T without materializing (T1, T2)
+# (conformer rel-pos attention: q1 = q + pos_bias_u, q2 = q + pos_bias_v,
+#  p = projected position embeddings — ref attention.py:307-438)
+# ---------------------------------------------------------------------------
+def _relpos_fwd_kernel(*refs, scale: float, block_k: int, kv_len: int,
+                       has_mask: bool):
+    if has_mask:
+        q1_ref, q2_ref, k_ref, p_ref, v_ref, mask_ref, o_ref = refs
+    else:
+        q1_ref, q2_ref, k_ref, p_ref, v_ref, o_ref = refs
+        mask_ref = None
+    q1 = q1_ref[0].astype(jnp.float32)
+    q2 = q2_ref[0].astype(jnp.float32)
+    block_q, d = q1.shape
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.dslice(i * block_k, block_k)].astype(jnp.float32)
+        p = p_ref[0, pl.dslice(i * block_k, block_k)].astype(jnp.float32)
+        v = v_ref[0, pl.dslice(i * block_k, block_k)].astype(jnp.float32)
+        s = (jax.lax.dot_general(q1, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) +
+             jax.lax.dot_general(q2, p, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32))
+        s = s * scale
+        if has_mask:
+            m = mask_ref[0, :, pl.dslice(i * block_k, block_k)] != 0
+            s = jnp.where(m, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        pgt = jnp.exp(s - m_new[:, None])
+        pgt = jnp.where(s <= NEG_INF * 0.5, 0.0, pgt)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_prev * corr + jnp.sum(pgt, axis=-1)
+        acc = acc * corr[:, None] + jax.lax.dot_general(
+            pgt, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, kv_len // block_k, body,
+                                  (acc0, m0, l0))
+    safe_l = jnp.where(l > 0.0, l, 1.0)
+    out = jnp.where((l > 0.0)[:, None], acc / safe_l[:, None], 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _relpos_reference(q1, q2, k, p, v, mask, scale):
+    """Pure-jnp semantics (used for the training backward)."""
+    s = (jnp.einsum('bhqd,bhkd->bhqk', q1, k,
+                    preferred_element_type=jnp.float32) +
+         jnp.einsum('bhqd,bhkd->bhqk', q2, p,
+                    preferred_element_type=jnp.float32)) * scale
+    if mask is not None:
+        m = mask if mask.ndim == 4 else mask[:, None]
+        s = jnp.where(m, s, NEG_INF)
+    a = jax.nn.softmax(s, axis=-1)
+    if mask is not None:
+        a = jnp.where(m, a, 0.0)
+    return jnp.einsum('bhqk,bhkd->bhqd', a.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q, block_k):
+    B, h, T1, d = q1.shape
+    T2 = k.shape[2]
+    block_q = min(block_q, max(T1, 1))
+    block_k = min(block_k, max(T2, 1))
+    pq = (-T1) % block_q
+    pk = (-T2) % block_k
+    T1p, T2p = T1 + pq, T2 + pk
+    pad_q = ((0, 0), (0, 0), (0, pq), (0, 0))
+    pad_k = ((0, 0), (0, 0), (0, pk), (0, 0))
+    q1p = jnp.pad(q1, pad_q).reshape(B * h, T1p, d)
+    q2p = jnp.pad(q2, pad_q).reshape(B * h, T1p, d)
+    kp = jnp.pad(k, pad_k).reshape(B * h, T2p, d)
+    pp = jnp.pad(jnp.broadcast_to(p, (B, h, T2, d)),
+                 pad_k).reshape(B * h, T2p, d)
+    vp = jnp.pad(v, pad_k).reshape(B * h, T2p, d)
+    has_mask = mask is not None or pk > 0
+    if has_mask:
+        m, hm = _prep_mask(mask, B, T1, T2, pq, pk)
+    grid = (B, h, T1p // block_q)
+    qspec = pl.BlockSpec((1, block_q, d),
+                         lambda b, i, j: (b * h + i, j, 0))
+    kspec = pl.BlockSpec((1, T2p, d), lambda b, i, j: (b * h + i, 0, 0))
+    in_specs = [qspec, qspec, kspec, kspec, kspec]
+    args = [q1p, q2p, kp, pp, vp]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, T2p),
+            lambda b, i, j, hm=hm: (b * hm + (i if hm > 1 else 0), j,
+                                    0)))
+        args.append(m)
+    out = pl.pallas_call(
+        functools.partial(_relpos_fwd_kernel, scale=scale,
+                          block_k=block_k, kv_len=T2p,
+                          has_mask=has_mask),
+        grid=grid, in_specs=in_specs,
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B * h, T1p, d), v.dtype),
+    )(*args)
+    return out.reshape(B, h, T1p, d)[:, :, :T1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def flash_attention_relpos(q1, q2, k, p, v, mask=None, scale=1.0,
+                           block_q: int = 128, block_k: int = 128):
+    """Rel-pos attention (matrix_ac + matrix_bd fused blockwise):
+    never materializes the (T1, T2) bias or scores in HBM.
+
+    q1 = q + pos_bias_u, q2 = q + pos_bias_v; p broadcastable
+    (1|B, h, T2, d).  Backward differentiates the reference jnp
+    formulation (XLA handles the training memory), so this is safe
+    under jax.grad."""
+    return _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q,
+                            block_k)
+
+
+def _relpos_vjp_fwd(q1, q2, k, p, v, mask, scale, block_q, block_k):
+    out = _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q,
+                           block_k)
+    return out, (q1, q2, k, p, v, mask)
+
+
+def _relpos_vjp_bwd(scale, block_q, block_k, res, dout):
+    q1, q2, k, p, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q1_, q2_, k_, p_, v_: _relpos_reference(
+            q1_, q2_, k_, p_, v_, mask, scale), q1, q2, k, p, v)
+    dq1, dq2, dk, dp, dv = vjp(dout)
+    # p may have been broadcast over batch; reduce the grad back
+    if p.shape[0] == 1 and dp.shape[0] != 1:
+        dp = jnp.sum(dp, axis=0, keepdims=True)
+    return dq1, dq2, dk, dp, dv, None
+
+
+flash_attention_relpos.defvjp(_relpos_vjp_fwd, _relpos_vjp_bwd)
