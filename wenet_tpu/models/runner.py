@@ -52,7 +52,10 @@ class AsrRunner:
             # which has the autodiff rules)
             from wenet_tpu.models.transformer.attention import (
                 enable_flash_attention)
-            enable_flash_attention(True, min_len=256)
+            # 512 threshold: flash wins at whisper-scale T (1.6x at
+            # T=1500) but XLA's fused attention is faster at the
+            # conformer's post-subsampling T~400 (measured on v5e)
+            enable_flash_attention(True, min_len=512)
 
     def _maybe_dequant(self, variables):
         if self._quant is None:
