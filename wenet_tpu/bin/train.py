@@ -142,7 +142,8 @@ def main():
     train_step = compile_train_step(model, tx, mesh, schedule,
                                     compute_dtype=compute_dtype,
                                     state_sharding=state_sharding,
-                                    frontend_conf=frontend_conf)
+                                    frontend_conf=frontend_conf,
+                                    accum_grad=configs.get('accum_grad', 1))
     cv_step = jax.jit(make_cv_step(model))
 
     if host_id == 0:
@@ -175,7 +176,8 @@ def main():
     for epoch in range(start_epoch, max_epoch):
         configs['epoch'] = epoch
         logging.info('Epoch %d TRAIN info lr %s', epoch,
-                     float(schedule(state.step)))
+                     float(schedule(state.step //
+                                    max(configs.get('accum_grad', 1), 1))))
         state = executor.train(train_step, state, train_dataset,
                                cv_dataset, cv_step, writer, configs,
                                mesh=mesh, model_dir=args.model_dir)

@@ -93,7 +93,8 @@ class BranchformerEncoderLayer(nn.Module):
         if self._use_attn:
             x1 = self.norm_mha(x1)
             x_att, new_att_cache = self.attn(x1, x1, x1, mask, pos_emb,
-                                             cache=att_cache)
+                                             cache=att_cache,
+                                             deterministic=det)
             x1 = self.dropout(x_att, deterministic=det)
         if self._use_cgmlp:
             x2 = self.norm_mlp(x2)

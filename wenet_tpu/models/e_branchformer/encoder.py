@@ -98,7 +98,8 @@ class EBranchformerEncoderLayer(nn.Module):
         x1, x2 = x, x
         x1 = self.norm_mha(x1)
         x_att, new_att_cache = self.attn(x1, x1, x1, mask, pos_emb,
-                                         cache=att_cache)
+                                         cache=att_cache,
+                                         deterministic=det)
         x1 = self.dropout(x_att, deterministic=det)
 
         cgmlp_cache, fusion_cache = (cnn_cache if cnn_cache is not None

@@ -61,6 +61,9 @@ class ASRModel(nn.Module):
                                                  train=train,
                                                  chunk_rng=chunk_rng)
         encoder_out_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1)
+        # ragged-tail dummy rows (executor.py pads the batch so it shards
+        # evenly) have feats_lengths == 0; exclude them from every loss
+        row_valid = feats_lengths > 0
 
         loss_ctc = None
         ctc_probs = None
@@ -72,7 +75,8 @@ class ASRModel(nn.Module):
         if self.ctc_weight != 0.0 and self.ctc is not None:
             loss_ctc, ctc_probs = self.ctc(encoder_out, encoder_out_lens,
                                            target, target_lengths,
-                                           train=train)
+                                           train=train,
+                                           row_valid=row_valid)
 
         loss_att, acc_att = None, None
         if self.apply_non_blank_embedding:
@@ -81,7 +85,7 @@ class ASRModel(nn.Module):
         if self.ctc_weight != 1.0:
             loss_att, acc_att = self._calc_att_loss(
                 encoder_out, encoder_mask, target, target_lengths,
-                train=train)
+                train=train, row_valid=row_valid)
 
         if loss_ctc is None:
             loss = loss_att
@@ -99,7 +103,8 @@ class ASRModel(nn.Module):
 
     def _calc_att_loss(self, encoder_out, encoder_mask, ys_pad,
                        ys_pad_lens, train: bool = False,
-                       infos=None) -> Tuple[jax.Array, jax.Array]:
+                       infos=None, row_valid=None
+                       ) -> Tuple[jax.Array, jax.Array]:
         """ref: asr_model.py:181-214."""
         ys_in_pad, ys_out_pad = add_sos_eos(ys_pad, self.sos, self.eos,
                                             self.ignore_id)
@@ -107,19 +112,30 @@ class ASRModel(nn.Module):
         r_ys_pad = reverse_pad_list(ys_pad, ys_pad_lens, self.ignore_id)
         r_ys_in_pad, r_ys_out_pad = add_sos_eos(r_ys_pad, self.sos,
                                                 self.eos, self.ignore_id)
+        num_valid = None
+        if row_valid is not None:
+            # dummy rows would still predict one <eos> token each —
+            # ignore them outright and keep the batch denominator honest
+            ys_out_pad = jnp.where(row_valid[:, None], ys_out_pad,
+                                   self.ignore_id)
+            r_ys_out_pad = jnp.where(row_valid[:, None], r_ys_out_pad,
+                                     self.ignore_id)
+            num_valid = jnp.sum(row_valid)
         decoder_out, r_decoder_out, _ = self.decoder(
             encoder_out, encoder_mask, ys_in_pad, ys_in_lens, r_ys_in_pad,
             self.reverse_weight, train=train)
         loss_att = label_smoothing_loss(decoder_out, ys_out_pad,
                                         self.vocab_size, self.ignore_id,
                                         self.lsm_weight,
-                                        self.length_normalized_loss)
+                                        self.length_normalized_loss,
+                                        num_valid=num_valid)
         if self.reverse_weight > 0.0:
             r_loss_att = label_smoothing_loss(r_decoder_out, r_ys_out_pad,
                                               self.vocab_size,
                                               self.ignore_id,
                                               self.lsm_weight,
-                                              self.length_normalized_loss)
+                                              self.length_normalized_loss,
+                                              num_valid=num_valid)
             loss_att = (loss_att * (1 - self.reverse_weight) +
                         r_loss_att * self.reverse_weight)
         acc_att = th_accuracy(decoder_out, ys_out_pad, self.ignore_id)

@@ -59,15 +59,18 @@ def attention_core(q: jax.Array,
                    v: jax.Array,
                    mask: Optional[jax.Array],
                    scale: float,
-                   bias: Optional[jax.Array] = None) -> jax.Array:
+                   bias: Optional[jax.Array] = None,
+                   dropout_fn=None) -> jax.Array:
     """scores = (q·kᵀ + bias) * scale, masked fp32 softmax, weighted sum.
 
     q: (..., h, T1, d), k/v: (..., h, T2, d)
     mask: bool broadcastable to (..., 1|h, T1|1, T2); True == attend.
     bias: additive pre-scale score bias (rel-pos matrix_bd etc.).
+    dropout_fn: applied to the softmaxed weights (training attention
+    dropout, ref attention.py:173); forces the XLA path.
     Returns (..., h, T1, d).
     """
-    if _flash_eligible(q, k):
+    if dropout_fn is None and _flash_eligible(q, k):
         from wenet_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v, mask, bias, scale=scale)
     scores = jnp.einsum('...qd,...kd->...qk', q, k,
@@ -80,6 +83,8 @@ def attention_core(q: jax.Array,
     attn = jax.nn.softmax(scores, axis=-1)
     if mask is not None:
         attn = jnp.where(mask, attn, 0.0)
+    if dropout_fn is not None:
+        attn = dropout_fn(attn)
     attn = attn.astype(v.dtype)
     return jnp.einsum('...qk,...kd->...qd', attn, v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
@@ -138,6 +143,14 @@ class MultiHeadedAttention(nn.Module):
         self.linear_out = make_attention_dense(self.n_feat,
                                                self.query_bias,
                                                'linear_out', 'o', conf)
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
+
+    def _attn_dropout_fn(self, deterministic: bool):
+        """Attention-weight dropout (ref attention.py:173). None when
+        inactive so the flash path stays eligible at inference."""
+        if deterministic or self.dropout_rate == 0.0:
+            return None
+        return lambda a: self.attn_dropout(a, deterministic=False)
 
     # -- projections ------------------------------------------------------
     def project_q(self, x: jax.Array) -> jax.Array:
@@ -173,7 +186,6 @@ class MultiHeadedAttention(nn.Module):
         """mask: (B, T1|1, T2_total) bool.  If `cache` is given, its (k, v)
         window is prepended to the freshly projected kv (static shapes:
         T2_total = cache_t + T2)."""
-        del deterministic  # attention dropout is off in all wenet recipes
         q = self.project_q(query)
         k, v = self.project_kv(key, value)
         if cache is not None:
@@ -182,7 +194,8 @@ class MultiHeadedAttention(nn.Module):
         new_cache = (k, v)
         n_rep = self.n_head // self.h_kv
         ctx = attention_core(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
-                             _expand_mask(mask), 1.0 / math.sqrt(self.d_k))
+                             _expand_mask(mask), 1.0 / math.sqrt(self.d_k),
+                             dropout_fn=self._attn_dropout_fn(deterministic))
         return self._finish(ctx), new_cache
 
     # -- single-step AR decode (fixed-size ring cache) --------------------
@@ -239,11 +252,15 @@ class MultiHeadedCrossAttention(MultiHeadedAttention):
             ctx = attention_core(q, k[:, None], v[:, None],
                                  _expand_mask(mask)[:, None]
                                  if mask is not None else None,
-                                 1.0 / math.sqrt(self.d_k))
+                                 1.0 / math.sqrt(self.d_k),
+                                 dropout_fn=self._attn_dropout_fn(
+                                     deterministic))
             ctx = ctx.reshape((Bq,) + ctx.shape[2:])
         else:
             ctx = attention_core(q, k, v, _expand_mask(mask),
-                                 1.0 / math.sqrt(self.d_k))
+                                 1.0 / math.sqrt(self.d_k),
+                                 dropout_fn=self._attn_dropout_fn(
+                                     deterministic))
         return self._finish(ctx), new_cache
 
 
@@ -288,7 +305,8 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
 
         u = self.pos_bias_u.astype(q.dtype)[None, :, None, :]
         w = self.pos_bias_v.astype(q.dtype)[None, :, None, :]
-        if _flash_eligible(q, k):
+        dropout_fn = self._attn_dropout_fn(deterministic)
+        if dropout_fn is None and _flash_eligible(q, k):
             # fused rel-pos flash: never materializes (T1, T2) scores
             # or the matrix_bd bias in HBM
             from wenet_tpu.ops.flash_attention import (
@@ -310,6 +328,8 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         attn = jax.nn.softmax(scores, axis=-1)
         if mask is not None:
             attn = jnp.where(m, attn, 0.0)
+        if dropout_fn is not None:
+            attn = dropout_fn(attn)
         ctx = jnp.einsum('bhqk,bhkd->bhqd', attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         return self._finish(ctx), new_cache
@@ -355,7 +375,8 @@ class ShawRelPositionMultiHeadedAttention(MultiHeadedAttention):
                               rel_k.astype(q.dtype),
                               preferred_element_type=jnp.float32)
         ctx = attention_core(q, k, v, _expand_mask(mask),
-                             1.0 / math.sqrt(self.d_k), bias=rel_bias)
+                             1.0 / math.sqrt(self.d_k), bias=rel_bias,
+                             dropout_fn=self._attn_dropout_fn(deterministic))
         return self._finish(ctx), new_cache
 
 
@@ -413,7 +434,8 @@ class RopeMultiHeadedAttention(MultiHeadedAttention):
         new_cache = (k, v)
         n_rep = self.n_head // self.h_kv
         ctx = attention_core(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
-                             _expand_mask(mask), 1.0 / math.sqrt(self.d_k))
+                             _expand_mask(mask), 1.0 / math.sqrt(self.d_k),
+                             dropout_fn=self._attn_dropout_fn(deterministic))
         return self._finish(ctx), new_cache
 
 

@@ -27,10 +27,14 @@ class CTC(nn.Module):
 
     def __call__(self, hs_pad: jax.Array, hlens: jax.Array,
                  ys_pad: jax.Array, ys_lens: jax.Array,
-                 train: bool = False) -> Tuple[jax.Array, jax.Array]:
+                 train: bool = False,
+                 row_valid: jax.Array = None) -> Tuple[jax.Array, jax.Array]:
         """Returns (batch-averaged ctc loss, log-probs (B, T, V)).
 
-        ys_pad may be IGNORE_ID padded; pads are masked via ys_lens."""
+        ys_pad may be IGNORE_ID padded; pads are masked via ys_lens.
+        row_valid: optional (B,) bool — rows marked False (ragged-tail
+        dummy padding, executor.py) are excluded from numerator and
+        denominator so tail padding is exactly unbiased."""
         h = self.dropout(hs_pad, deterministic=not train)
         logits = self.ctc_lo(h)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
@@ -45,7 +49,12 @@ class CTC(nn.Module):
                                  blank_id=self.blank_id)
         # zero_infinity=True analog: drop infeasible (T < U) sequences
         per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
-        loss = jnp.sum(per_seq) / hs_pad.shape[0]
+        if row_valid is not None:
+            per_seq = jnp.where(row_valid, per_seq, 0.0)
+            denom = jnp.maximum(jnp.sum(row_valid), 1)
+        else:
+            denom = hs_pad.shape[0]
+        loss = jnp.sum(per_seq) / denom
         return loss, logprobs
 
     def log_softmax(self, hs_pad: jax.Array) -> jax.Array:

@@ -83,7 +83,7 @@ class DecoderLayer(nn.Module):
         det = not train
         residual = tgt
         x = self.norm1(tgt) if self.normalize_before else tgt
-        x_att, _ = self.self_attn(x, x, x, tgt_mask)
+        x_att, _ = self.self_attn(x, x, x, tgt_mask, deterministic=det)
         x = residual + self.dropout(x_att, deterministic=det)
         if not self.normalize_before:
             x = self.norm1(x)
@@ -92,7 +92,8 @@ class DecoderLayer(nn.Module):
             residual = x
             if self.normalize_before:
                 x = self.norm2(x)
-            x_att, _ = self.src_attn(x, memory, memory, memory_mask)
+            x_att, _ = self.src_attn(x, memory, memory, memory_mask,
+                                     deterministic=det)
             x = residual + self.dropout(x_att, deterministic=det)
             if not self.normalize_before:
                 x = self.norm2(x)

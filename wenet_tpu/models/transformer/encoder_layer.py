@@ -68,7 +68,8 @@ class TransformerEncoderLayer(nn.Module):
         if self.normalize_before:
             x = self.norm1(x)
         x_att, new_att_cache = self.self_attn(x, x, x, mask, pos_emb,
-                                              cache=att_cache)
+                                              cache=att_cache,
+                                              deterministic=det)
         x = residual + self.dropout(x_att, deterministic=det)
         if not self.normalize_before:
             x = self.norm1(x)
@@ -178,7 +179,8 @@ class ConformerEncoderLayer(nn.Module):
         if self.normalize_before:
             x = self.norm_mha(x)
         x_att, new_att_cache = self.self_attn(x, x, x, mask, pos_emb,
-                                              cache=att_cache)
+                                              cache=att_cache,
+                                              deterministic=det)
         x = residual + self.dropout(x_att, deterministic=det)
         if not self.normalize_before:
             x = self.norm_mha(x)

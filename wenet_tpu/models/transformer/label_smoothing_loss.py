@@ -15,8 +15,13 @@ def label_smoothing_loss(logits: jax.Array,
                          size: int,
                          padding_idx: int,
                          smoothing: float,
-                         normalize_length: bool = False) -> jax.Array:
-    """logits: (B, L, V); target: (B, L) with padding_idx pads."""
+                         normalize_length: bool = False,
+                         num_valid=None) -> jax.Array:
+    """logits: (B, L, V); target: (B, L) with padding_idx pads.
+
+    num_valid: optional scalar count of real (non-dummy) rows — replaces
+    B as the denominator when normalize_length=False, so ragged-tail
+    padding rows (executor.py) don't deflate the loss."""
     B = logits.shape[0]
     confidence = 1.0 - smoothing
     low = smoothing / (size - 1)
@@ -36,5 +41,10 @@ def label_smoothing_loss(logits: jax.Array,
     kl = cross + ent
     kl = jnp.where(ignore, 0.0, kl)
     total = jnp.maximum(jnp.sum(~ignore), 1)
-    denom = total if normalize_length else B
+    if normalize_length:
+        denom = total
+    elif num_valid is not None:
+        denom = jnp.maximum(num_valid, 1)
+    else:
+        denom = B
     return jnp.sum(kl) / denom

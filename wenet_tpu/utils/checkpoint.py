@@ -151,7 +151,7 @@ def load_checkpoint(model, variables, path: str):
         # strip DDP 'module.' prefixes
         ckpt = {k.removeprefix('module.'): v for k, v in ckpt.items()}
         variables = convert_torch_state_dict(ckpt, variables)
-        info_path = re.sub('.pt$', '.yaml', path)
+        info_path = re.sub(r'\.(pt|pth|bin)$', '.yaml', path)
     else:
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()

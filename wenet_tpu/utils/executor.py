@@ -19,11 +19,11 @@ from wenet_tpu.utils.checkpoint import save_checkpoint
 from wenet_tpu.utils.common import StepTimer
 
 
-def _pad_rows(x, n):
+def _pad_rows(x, n, value=0):
     if n <= 0:
         return x
     pad = [(0, n)] + [(0, 0)] * (x.ndim - 1)
-    return np.pad(x, pad)
+    return np.pad(x, pad, constant_values=value)
 
 
 def _to_device_batch(batch, mesh=None):
@@ -37,8 +37,12 @@ def _to_device_batch(batch, mesh=None):
         rem = (-B) % dsize
         if rem:
             # pad ragged tail batches with zero-length dummies so the
-            # batch dim shards evenly (their losses contribute zero)
-            out = {k: _pad_rows(v, rem) for k, v in out.items()}
+            # batch dim shards evenly; target must pad with IGNORE_ID so
+            # add_sos_eos sees zero-length labels (0-padded rows would
+            # look like full-length token-0 sequences and pollute the
+            # attention loss / th_accuracy)
+            out = {k: _pad_rows(v, rem, -1 if k == 'target' else 0)
+                   for k, v in out.items()}
         return shard_batch(out, mesh)
     return {k: jnp.asarray(v) for k, v in out.items()}
 

@@ -81,7 +81,7 @@ def create_train_state(variables, tx) -> TrainState:
 
 
 def make_train_step(model, tx, schedule=None, compute_dtype=None,
-                    frontend_conf=None):
+                    frontend_conf=None, accum_grad=1):
     """Build the pure train step: (state, batch, rng) -> (state, metrics).
 
     batch: dict(feats, feats_lengths, target, target_lengths).
@@ -179,7 +179,9 @@ def make_train_step(model, tx, schedule=None, compute_dtype=None,
             'grad_norm': optax.global_norm(grads),
         }
         if schedule is not None:
-            metrics['lr'] = schedule(state.step)
+            # with MultiSteps, state.step counts micro-steps while the
+            # inner schedule advances once per accum_grad of them
+            metrics['lr'] = schedule(state.step // max(accum_grad, 1))
         metrics = {k: v for k, v in metrics.items() if v is not None}
         new_state = state.replace(step=state.step + 1,
                                   params=new_params,
@@ -205,13 +207,15 @@ def make_cv_step(model):
 
 def compile_train_step(model, tx, mesh, schedule=None,
                        donate: bool = True, compute_dtype=None,
-                       state_sharding=None, frontend_conf=None):
+                       state_sharding=None, frontend_conf=None,
+                       accum_grad=1):
     """jit the train step with data-sharded batch; state replicated by
     default or laid out per `state_sharding` (tp / expert-parallel /
     zero2 — see parallel/mesh.py state_shardings)."""
     step_fn = make_train_step(model, tx, schedule,
                               compute_dtype=compute_dtype,
-                              frontend_conf=frontend_conf)
+                              frontend_conf=frontend_conf,
+                              accum_grad=accum_grad)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     st = state_sharding if state_sharding is not None else rep
