@@ -1,0 +1,333 @@
+"""Golden parity against the ACTUAL reference code at /root/reference.
+
+Builds the real `wenet` torch models (via the reference's own
+init_model registry), imports their state_dicts through our checkpoint
+mapper, and asserts:
+
+  * encoder forward parity          (ref wenet/models/transformer/encoder.py)
+  * full joint-loss parity          (ref asr_model.py:82-138)
+  * ctc prefix beam hypothesis parity (ref search.py:127-249)
+  * attention-rescoring winner parity (ref search.py:374-458)
+  * attention beam search parity    (ref search.py:252-371)
+  * whisper encoder/loss parity     (ref wenet/models/whisper/whisper.py)
+
+This replaces the test-local torch mirrors (VERDICT.md round-1 item #2):
+a transcription bug can no longer pass by being common to both sides.
+"""
+
+import copy
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import refwenet
+
+from wenet_tpu.models.transformer import search as our_search
+from wenet_tpu.utils.checkpoint import convert_torch_state_dict
+from wenet_tpu.utils.init_model import init_model as our_init_model
+from wenet_tpu.utils.init_model import init_variables
+
+refwenet.load()
+
+from wenet.models.transformer import search as ref_search  # noqa: E402
+from wenet.utils.init_model import init_model as ref_init_model  # noqa: E402
+
+IDIM, D, H, FF, VOCAB = 80, 32, 2, 64, 50
+
+CONFIGS = {
+    'input_dim': IDIM,
+    'output_dim': VOCAB,
+    'encoder': 'conformer',
+    'encoder_conf': {
+        'output_size': D, 'attention_heads': H, 'linear_units': FF,
+        'num_blocks': 2, 'cnn_module_kernel': 7,
+        'dropout_rate': 0.0, 'positional_dropout_rate': 0.0,
+        'attention_dropout_rate': 0.0, 'cnn_module_norm': 'batch_norm',
+    },
+    'decoder': 'bitransformer',
+    'decoder_conf': {
+        'attention_heads': H, 'linear_units': FF,
+        'num_blocks': 1, 'r_num_blocks': 1,
+        'dropout_rate': 0.0, 'positional_dropout_rate': 0.0,
+        'self_attention_dropout_rate': 0.0,
+        'src_attention_dropout_rate': 0.0,
+    },
+    'model_conf': {
+        'ctc_weight': 0.3, 'lsm_weight': 0.1, 'reverse_weight': 0.3,
+        'length_normalized_loss': False,
+    },
+}
+
+
+@pytest.fixture(scope='module')
+def pair():
+    """(ref torch model, our model, our variables) with identical weights."""
+    torch.manual_seed(11)
+    tmodel, _ = ref_init_model(SimpleNamespace(), copy.deepcopy(CONFIGS))
+    # randomize batchnorm running stats so the stats transfer is exercised
+    for mod in tmodel.modules():
+        if isinstance(mod, torch.nn.BatchNorm1d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+    tmodel.eval()
+
+    jmodel, configs = our_init_model(None, copy.deepcopy(CONFIGS))
+    variables, _ = init_variables(jmodel, configs)
+    variables = convert_torch_state_dict(tmodel.state_dict(), variables,
+                                         strict=True)
+    return tmodel, jmodel, variables
+
+
+@pytest.fixture(scope='module')
+def batch():
+    rng = np.random.RandomState(3)
+    B, T, U = 2, 64, 7
+    feats = rng.randn(B, T, IDIM).astype(np.float32)
+    feats_lens = np.asarray([T, T - 13], np.int32)
+    target = rng.randint(1, VOCAB - 2, size=(B, U)).astype(np.int32)
+    target[1, U - 2:] = -1  # IGNORE_ID ragged tail
+    target_lens = np.asarray([U, U - 2], np.int32)
+    return feats, feats_lens, target, target_lens
+
+
+def _ref_encode(tmodel, feats, feats_lens):
+    with torch.no_grad():
+        out, mask = tmodel.encoder(torch.tensor(feats),
+                                   torch.tensor(feats_lens))
+    return out, mask
+
+
+def test_encoder_forward_parity(pair, batch):
+    tmodel, jmodel, variables = pair
+    feats, feats_lens, _, _ = batch
+    tout, tmask = _ref_encode(tmodel, feats, feats_lens)
+    tout, tmask = tout.numpy(), tmask.numpy()
+
+    jout, jmask = jmodel.apply(variables, jnp.asarray(feats),
+                               jnp.asarray(feats_lens),
+                               method=jmodel.forward_encoder)
+    jout, jmask = np.asarray(jout), np.asarray(jmask)
+
+    np.testing.assert_array_equal(jmask, tmask)
+    for b in range(feats.shape[0]):
+        n = int(tmask[b, 0].sum())
+        np.testing.assert_allclose(jout[b, :n], tout[b, :n],
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_joint_loss_parity(pair, batch):
+    tmodel, jmodel, variables = pair
+    feats, feats_lens, target, target_lens = batch
+    tbatch = {
+        'feats': torch.tensor(feats),
+        'feats_lengths': torch.tensor(feats_lens),
+        'target': torch.tensor(target, dtype=torch.long),
+        'target_lengths': torch.tensor(target_lens, dtype=torch.long),
+        'langs': ['zh'] * feats.shape[0],
+        'tasks': ['transcribe'] * feats.shape[0],
+    }
+    with torch.no_grad():
+        tout = tmodel(tbatch, torch.device('cpu'))
+
+    jout = jmodel.apply(variables, jnp.asarray(feats),
+                        jnp.asarray(feats_lens), jnp.asarray(target),
+                        jnp.asarray(target_lens))
+    for key in ('loss', 'loss_att', 'loss_ctc', 'th_accuracy'):
+        ref_val = float(tout[key])
+        our_val = float(jout[key])
+        assert abs(ref_val - our_val) < 2e-3 * max(1.0, abs(ref_val)), (
+            key, ref_val, our_val)
+
+
+@pytest.fixture(scope='module')
+def ctc_decode_inputs(pair, batch):
+    """Shared encoder outputs + ctc log-probs computed by the reference."""
+    tmodel, _, _ = pair
+    feats, feats_lens, _, _ = batch
+    enc_out, enc_mask = _ref_encode(tmodel, feats, feats_lens)
+    enc_lens = enc_mask.squeeze(1).sum(1)
+    with torch.no_grad():
+        ctc_probs = tmodel.ctc.log_softmax(enc_out)
+    return enc_out, enc_mask, enc_lens, ctc_probs
+
+
+def test_ctc_prefix_beam_hypothesis_parity(ctc_decode_inputs):
+    _, _, enc_lens, ctc_probs = ctc_decode_inputs
+    beam = 5
+    ref_results = ref_search.ctc_prefix_beam_search(ctc_probs, enc_lens,
+                                                    beam)
+    our_results = our_search.ctc_prefix_beam_search(
+        jnp.asarray(ctc_probs.numpy()), jnp.asarray(enc_lens.numpy()),
+        beam)
+    for rr, ours in zip(ref_results, our_results):
+        assert list(rr.tokens) == list(ours.tokens)
+        assert abs(rr.score - ours.score) < 1e-3
+        # nbest must agree as (prefix -> score) maps
+        ref_map = {tuple(t): s for t, s in zip(rr.nbest, rr.nbest_scores)}
+        our_map = {tuple(t): s
+                   for t, s in zip(ours.nbest, ours.nbest_scores)}
+        common = set(ref_map) & set(our_map)
+        assert tuple(rr.tokens) in common
+        assert len(common) >= min(len(ref_map), len(our_map)) - 1
+        for pfx in common:
+            assert abs(ref_map[pfx] - our_map[pfx]) < 1e-3, pfx
+        # viterbi frame times of the winner
+        assert list(rr.times) == list(ours.times)
+
+
+def test_attention_rescoring_winner_parity(pair, ctc_decode_inputs):
+    tmodel, jmodel, variables = pair
+    enc_out, _, enc_lens, ctc_probs = ctc_decode_inputs
+    beam = 5
+    ref_prefix = ref_search.ctc_prefix_beam_search(ctc_probs, enc_lens,
+                                                   beam)
+    ref_res = ref_search.attention_rescoring(
+        tmodel, ref_prefix, enc_out, enc_lens,
+        ctc_weight=0.3, reverse_weight=0.3)
+
+    # feed our rescorer the identical nbest so the comparison isolates
+    # the decoder-scoring + fusion math
+    our_prefix = [
+        our_search.DecodeResult(tokens=list(r.tokens), score=r.score,
+                                times=list(r.times),
+                                nbest=[list(t) for t in r.nbest],
+                                nbest_scores=list(r.nbest_scores),
+                                nbest_times=[list(t) for t in
+                                             r.nbest_times])
+        for r in ref_prefix
+    ]
+    our_res = our_search.attention_rescoring(
+        jmodel, variables, our_prefix, jnp.asarray(enc_out.numpy()),
+        jnp.asarray(enc_lens.numpy()), ctc_weight=0.3, reverse_weight=0.3)
+    for rr, ours in zip(ref_res, our_res):
+        assert list(rr.tokens) == list(ours.tokens)
+        assert abs(rr.score - ours.score) < 2e-3
+        assert abs(rr.confidence - ours.confidence) < 1e-3
+
+
+def test_attention_beam_search_parity(pair, ctc_decode_inputs):
+    tmodel, jmodel, variables = pair
+    enc_out, enc_mask, _, _ = ctc_decode_inputs
+    ref_res = ref_search.attention_beam_search(tmodel, enc_out, enc_mask,
+                                               beam_size=4)
+    our_res = our_search.attention_beam_search(
+        jmodel, variables, jnp.asarray(enc_out.numpy()),
+        jnp.asarray(enc_mask.numpy()), beam_size=4)
+    for rr, ours in zip(ref_res, our_res):
+        assert list(rr.tokens) == list(ours.tokens)
+
+
+# ---------------------------------------------------------------------------
+# whisper vs the real reference Whisper class
+# ---------------------------------------------------------------------------
+WVOCAB = 60
+WSPECIAL = {
+    'sot': 50, 'eot': 51, 'sot_prev': 52, 'transcribe': 53,
+    'translate': 54, 'no_timestamps': 55, 'no_speech': 56,
+    'timestamp_begin': 57,
+}
+WCONFIGS = {
+    'input_dim': IDIM,
+    'output_dim': WVOCAB,
+    'model': 'whisper',
+    'encoder': 'transformer',
+    'encoder_conf': {
+        'output_size': D, 'attention_heads': H, 'linear_units': FF,
+        'num_blocks': 2, 'dropout_rate': 0.0,
+        'positional_dropout_rate': 0.0, 'attention_dropout_rate': 0.0,
+        'input_layer': 'conv1d2', 'pos_enc_layer_type': 'abs_pos_whisper',
+        'static_chunk_size': -1, 'key_bias': False,
+        'activation_type': 'gelu',
+    },
+    'decoder': 'transformer',
+    'decoder_conf': {
+        'attention_heads': H, 'linear_units': FF, 'num_blocks': 1,
+        'dropout_rate': 0.0, 'positional_dropout_rate': 0.0,
+        'self_attention_dropout_rate': 0.0,
+        'src_attention_dropout_rate': 0.0,
+        'input_layer': 'embed_learnable_pe', 'use_output_layer': True,
+        'normalize_before': True, 'src_attention': True,
+        'key_bias': False, 'src_key_bias': False,
+        'activation_type': 'gelu', 'tie_word_embedding': True,
+    },
+    'tokenizer': 'whisper',
+    'tokenizer_conf': {'special_tokens': dict(WSPECIAL)},
+    'model_conf': {'ctc_weight': 0.0, 'lsm_weight': 0.1,
+                   'length_normalized_loss': False},
+}
+
+
+@pytest.fixture(scope='module')
+def whisper_pair():
+    torch.manual_seed(23)
+    tmodel, _ = ref_init_model(SimpleNamespace(), copy.deepcopy(WCONFIGS))
+    # the reference ties output_layer.weight to the embedding but keeps a
+    # separate bias that real converted checkpoints leave at zero
+    # (the OpenAI layout has no logits bias); zero it so both sides
+    # compute logits = x @ embedding.T
+    with torch.no_grad():
+        tmodel.decoder.output_layer.bias.zero_()
+        # ref LearnablePositionalEncoding allocates torch.empty (garbage,
+        # sometimes NaN) — real checkpoints overwrite it; we must too
+        tmodel.decoder.embed[1].pe.normal_(0, 0.1)
+    tmodel.eval()
+    sd = {k: v for k, v in tmodel.state_dict().items()
+          if k not in ('decoder.output_layer.weight',
+                       'decoder.output_layer.bias')}
+    jmodel, configs = our_init_model(None, copy.deepcopy(WCONFIGS))
+    variables, _ = init_variables(jmodel, configs)
+    variables = convert_torch_state_dict(sd, variables, strict=True)
+    return tmodel, jmodel, variables
+
+
+def test_whisper_loss_parity(whisper_pair):
+    from wenet_tpu.models.whisper.whisper import (lang_id_array,
+                                                  task_id_array)
+    tmodel, jmodel, variables = whisper_pair
+    rng = np.random.RandomState(5)
+    B, T, U = 2, 32, 6
+    feats = rng.randn(B, T, IDIM).astype(np.float32)
+    feats_lens = np.asarray([T, T - 8], np.int32)
+    target = rng.randint(0, WVOCAB - 12, size=(B, U)).astype(np.int32)
+    target[1, U - 2:] = -1
+    target_lens = np.asarray([U, U - 2], np.int32)
+
+    tbatch = {
+        'feats': torch.tensor(feats),
+        'feats_lengths': torch.tensor(feats_lens),
+        'target': torch.tensor(target, dtype=torch.long),
+        'target_lengths': torch.tensor(target_lens, dtype=torch.long),
+        'langs': ['zh', 'en'],
+        'tasks': ['transcribe', 'transcribe'],
+    }
+    with torch.no_grad():
+        tout = tmodel(tbatch, torch.device('cpu'))
+
+    jout = jmodel.apply(
+        variables, jnp.asarray(feats), jnp.asarray(feats_lens),
+        jnp.asarray(target), jnp.asarray(target_lens),
+        lang_ids=jnp.asarray(lang_id_array(['zh', 'en'])),
+        task_ids=jnp.asarray(task_id_array(['transcribe', 'transcribe'])))
+    for key in ('loss', 'loss_att', 'th_accuracy'):
+        ref_val = float(tout[key])
+        our_val = float(jout[key])
+        assert abs(ref_val - our_val) < 2e-3 * max(1.0, abs(ref_val)), (
+            key, ref_val, our_val)
+
+
+def test_whisper_encoder_parity(whisper_pair):
+    tmodel, jmodel, variables = whisper_pair
+    rng = np.random.RandomState(6)
+    B, T = 2, 32
+    feats = rng.randn(B, T, IDIM).astype(np.float32)
+    feats_lens = np.asarray([T, T], np.int32)
+    tout, tmask = _ref_encode(tmodel, feats, feats_lens)
+    jout, _ = jmodel.apply(variables, jnp.asarray(feats),
+                           jnp.asarray(feats_lens),
+                           method=jmodel.forward_encoder)
+    np.testing.assert_allclose(np.asarray(jout), tout.numpy(),
+                               atol=2e-4, rtol=2e-4)

@@ -1,4 +1,7 @@
-"""Whisper parity: a faithful torch re-implementation of the OpenAI
+"""OpenAI-checkpoint CONVERTER coverage (distinct from
+tests/test_reference_parity.py, which checks whisper parity against the
+real reference wenet.models.whisper package in its converted layout):
+a faithful torch re-implementation of the OpenAI
 whisper architecture is built here, converted via
 wenet_tpu.models.whisper.convert, and encoder/decoder outputs compared.
 

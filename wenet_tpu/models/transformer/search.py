@@ -154,7 +154,7 @@ def _prefix_beam_step(state, inputs, beam_size, blank_id, vocab_topk):
     pool_u = jnp.concatenate([jnp.full((K * Kp,), -1), flat(u)])
     pool_p = jnp.concatenate([flat(p), flat(p)])
     pool_isrep = jnp.concatenate(
-        [jnp.zeros((K * Kp,), bool), flat(is_rep)])
+        [flat(is_rep & ~is_blank), flat(is_rep)])
     pool_active = jnp.concatenate([flat(stay_active), flat(ext_active)])
     N = pool_h1.shape[0]
 
@@ -189,12 +189,35 @@ def _prefix_beam_step(state, inputs, beam_size, blank_id, vocab_topk):
     s_vns = pool_vns[order]
     seg_vs = jax.ops.segment_max(s_vs, seg_id, num_segments=num_seg)
     seg_vns = jax.ops.segment_max(s_vns, seg_id, num_segments=num_seg)
-    # winner member index (within pool order) for v_ns / v_s
+    # times_ns winner.  Each target prefix has at most TWO v_ns writers:
+    # the stay member (parent == target, the *uu->*u branch) and the ext
+    # member (parent == target[:-1]); both carry the same token prob p.
+    # Reference semantics (search.py:163-219): the ext branches stamp
+    # times unconditionally whenever they improve v_ns, while the stay
+    # branch is gated on cur_token_prob (fresh -inf per frame, set to p
+    # by any earlier writer).  Sequentially (beam-rank order) that
+    # reduces to: times follow the ext member, unless there is no ext
+    # member, or the stay member is processed first (its parent ranks
+    # higher) AND its v_ns is never beaten by the ext member.
     arangeN = jnp.arange(N)
-    is_vns_winner = (s_vns >= seg_vns[seg_id] - 1e-9) & (s_vns > NEG_INF)
-    vns_winner = jax.ops.segment_min(
-        jnp.where(is_vns_winner, arangeN, N), seg_id,
+    s_par = pool_parent[order]
+    vns_active = s_vns > NEG_INF
+    is_stay_m = order < (K * Kp)  # first pool half = stay slots
+    stay_idx = jax.ops.segment_min(
+        jnp.where(vns_active & is_stay_m, arangeN, N), seg_id,
         num_segments=num_seg)
+    ext_idx = jax.ops.segment_min(
+        jnp.where(vns_active & ~is_stay_m, arangeN, N), seg_id,
+        num_segments=num_seg)
+    has_stay = stay_idx < N
+    has_ext = ext_idx < N
+    v_stay = s_vns[jnp.minimum(stay_idx, N - 1)]
+    v_ext = s_vns[jnp.minimum(ext_idx, N - 1)]
+    rank_stay = s_par[jnp.minimum(stay_idx, N - 1)]
+    rank_ext = s_par[jnp.minimum(ext_idx, N - 1)]
+    choose_stay = has_stay & (
+        ~has_ext | ((rank_stay < rank_ext) & (v_stay >= v_ext)))
+    vns_winner = jnp.where(choose_stay, stay_idx, ext_idx)
     is_vs_winner = (s_vs >= seg_vs[seg_id] - 1e-9) & (s_vs > NEG_INF)
     vs_winner = jax.ops.segment_min(
         jnp.where(is_vs_winner, arangeN, N), seg_id, num_segments=num_seg)
@@ -237,12 +260,14 @@ def _prefix_beam_step(state, inputs, beam_size, blank_id, vocab_topk):
                                      times_ns[par]), times_ns[par]))
         L = jnp.where(ext, lens[par] + 1, lens[par])
         wp = jnp.minimum(L - 1, U - 1)
-        # extend: append t; stay-repeat: overwrite last if p > ctp[par]
-        upd = ext | (rep & (pool_p[pidx] > ctp[par]))
+        # the v_ns winner always (re)stamps the last token's time with t:
+        # ref guards the stay-repeat update on the TARGET's cur_token_prob,
+        # which is a fresh -inf every frame (PrefixScore.__init__,
+        # ref search.py:80) — the parent's stored value is never read
+        upd = ext | rep
         out = jnp.where(
             (jnp.arange(U) == wp) & upd, t, parent_times)
-        new_ctp = jnp.where(ext, pool_p[pidx],
-                            jnp.maximum(ctp[par], pool_p[pidx]))
+        new_ctp = pool_p[pidx]
         return out, new_ctp
 
     vns_w = vns_winner[topk_seg]

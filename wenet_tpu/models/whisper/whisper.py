@@ -132,6 +132,11 @@ class Whisper(ASRModel):
                                                  chunk_rng=chunk_rng)
         encoder_out_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1)
         loss_ctc = None
+        if self.ctc is not None and self.is_initializing() and \
+                self.ctc_weight == 0.0:
+            # touch ctc params so AR-only whisper still serves
+            # ctc_activation (and consumes ctc.* checkpoint keys)
+            _ = self.ctc.log_softmax(encoder_out[:, :1])
         if self.ctc_weight != 0.0 and self.ctc is not None:
             loss_ctc, _ = self.ctc(encoder_out, encoder_out_lens, target,
                                    target_lengths, train=train)

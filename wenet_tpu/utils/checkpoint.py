@@ -126,6 +126,10 @@ def convert_torch_state_dict(state_dict: Dict[str, Any],
     unexpected = [
         k for k in state_dict
         if k not in used and not k.endswith('num_batches_tracked')
+        # sinusoidal position-table buffers the reference persists but we
+        # recompute (learnable PEs *are* consumed above and never land
+        # here); ref embedding.py registers `pe` as a buffer
+        and not k.endswith('.pe')
     ]
     if missing:
         logger.warning('not found in torch ckpt: %s', missing[:20])
