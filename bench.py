@@ -20,11 +20,58 @@ Methodology notes (important over the remote-TPU tunnel):
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def bench_rescoring():
+    """Full attention_rescoring pipeline throughput: encoder + CTC +
+    batched prefix beam + the (B, nbest) jitted rescoring program
+    (ref default decode mode, asr_model.py:40; VERDICT.md round-1
+    weakness #6 asked for a bench row on this path)."""
+    from __graft_entry__ import _flagship_config
+    from wenet_tpu.models.runner import AsrRunner
+    from wenet_tpu.utils.init_model import init_model, init_variables
+
+    configs = _flagship_config()
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    runner = AsrRunner(model, variables, dtype=jnp.bfloat16)
+
+    B = 16
+    SECONDS = 15.0
+    T = int(SECONDS * 100)
+    input_dim = configs['input_dim']
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, input_dim), jnp.float32)
+    feats_lengths = jnp.full((B,), T, jnp.int32)
+
+    def run(c):
+        res = runner.decode(['attention_rescoring'], feats + c,
+                            feats_lengths, beam_size=10,
+                            ctc_weight=0.3, reverse_weight=0.3)
+        return res['attention_rescoring']
+
+    run(0.0)  # warmup/compile
+    iters = 5
+    best_dt = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            run(1e-3 * (i + 1))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    audio_sec = B * SECONDS * iters
+    throughput = audio_sec / best_dt
+    print(json.dumps({
+        'metric': 'attention_rescoring_throughput',
+        'value': round(throughput, 1),
+        'unit': 'audio_sec/sec/chip',
+        'vs_baseline': round(throughput / 2000.0, 3),
+    }))
 
 
 def main():
@@ -90,4 +137,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--mode' in sys.argv and 'rescoring' in sys.argv:
+        bench_rescoring()
+    else:
+        main()

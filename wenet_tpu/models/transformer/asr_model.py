@@ -189,13 +189,19 @@ class ASRModel(nn.Module):
         return self.ctc.log_softmax(encoder_out)
 
     def forward_attention_decoder(self, hyps, hyps_lens, encoder_out,
-                                  reverse_weight: float = 0.0):
+                                  reverse_weight: float = 0.0,
+                                  encoder_mask=None):
         """Batched nbest rescoring decoder. ref: asr_model.py:452-547.
 
-        hyps: (n, L) with leading <sos>; encoder_out: (1, T, D)."""
+        hyps: (n, L) with leading <sos>; encoder_out: (1, T, D), or
+        already expanded to (n, T, D) with a matching encoder_mask
+        (the whole-batch rescoring program passes per-utterance masks)."""
         num_hyps = hyps.shape[0]
-        encoder_out = jnp.repeat(encoder_out, num_hyps, axis=0)
-        encoder_mask = jnp.ones((num_hyps, 1, encoder_out.shape[1]), bool)
+        if encoder_out.shape[0] != num_hyps:
+            encoder_out = jnp.repeat(encoder_out, num_hyps, axis=0)
+        if encoder_mask is None:
+            encoder_mask = jnp.ones((num_hyps, 1, encoder_out.shape[1]),
+                                    bool)
         r_hyps_lens = hyps_lens - 1
         r_hyps = hyps[:, 1:]
         r_hyps = reverse_pad_list(r_hyps, r_hyps_lens, self.ignore_id)
