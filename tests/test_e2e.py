@@ -112,6 +112,46 @@ def test_train_then_recognize(workdir):
         assert len(lines) == 8
         assert all(line.split()[0].startswith('utt') for line in lines)
 
+    # hlg decode over a python-built HLG (k2-parity path,
+    # ref recognize.py:144-167 + tools/k2/make_hlg.sh)
+    from wenet_tpu.lm.build_graph import build_hlg
+    (workdir / 'lexicon.txt').write_text('你好 你 好\n世界 世 界\n好 好\n',
+                                         encoding='utf8')
+    (workdir / 'words.arpa').write_text("""
+\\data\\
+ngram 1=5
+
+\\1-grams:
+-0.5\t<s>
+-0.7\t</s>
+-0.4\t你好
+-0.6\t世界
+-0.8\t好
+
+\\end\\
+""", encoding='utf8')
+    lang = workdir / 'hlg_lang'
+    build_hlg(str(workdir / 'units.txt'), str(workdir / 'lexicon.txt'),
+              str(workdir / 'words.arpa'), str(lang))
+    os.rename(lang / 'TLG.txt', lang / 'HLG.txt')
+    _run_main(recognize_main, [
+        'recognize.py', '--config',
+        os.path.join(model_dir, 'train.yaml'),
+        '--test_data', str(workdir / 'data.list'),
+        '--checkpoint', os.path.join(model_dir, 'final'),
+        '--result_dir', result_dir,
+        '--batch_size', '4', '--beam_size', '3',
+        '--modes', 'hlg_onebest', 'hlg_rescore',
+        '--hlg', str(lang / 'HLG.txt'), '--word',
+        str(lang / 'words.txt'),
+        '--lm_scale', '0.5', '--decoder_scale', '0.3',
+        '--r_decoder_scale', '0.3',
+    ])
+    for mode in ('hlg_onebest', 'hlg_rescore'):
+        path = os.path.join(result_dir, mode, 'text')
+        lines = open(path, encoding='utf8').read().strip().split('\n')
+        assert len(lines) == 8
+
 
 def test_embedding_api_on_trained_model(workdir):
     """wenet_api-style embedding surface over the e2e-trained model."""

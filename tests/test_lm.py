@@ -153,3 +153,145 @@ def test_offline_nbest_lm_rescore(lm):
     out = _lm_rescore(r, lm, lm_weight=2.0, id2sym=id2sym)
     assert out.tokens == [1, 2]       # LM prefers "a b"
     assert out.times == [0, 3]
+
+
+# ---------------------------------------------------------------------------
+# pure-python TLG build pipeline (wenet_tpu/lm/build_graph.py)
+# ---------------------------------------------------------------------------
+WORD_ARPA = """
+\\data\\
+ngram 1=4
+ngram 2=3
+
+\\1-grams:
+-0.5\t<s>\t-0.3
+-0.7\t</s>
+-0.4\tab\t-0.2
+-0.8\tb\t-0.1
+
+\\2-grams:
+-0.2\t<s> ab
+-0.3\tab </s>
+-0.9\tab b
+
+\\end\\
+"""
+
+
+@pytest.fixture
+def tlg_dir(tmp_path):
+    """Tiny lexicon + 2-gram ARPA -> TLG via the python builder."""
+    (tmp_path / 'units.txt').write_text('a 1\nb 2\n')
+    (tmp_path / 'lexicon.txt').write_text('ab a b\nb b\n')
+    (tmp_path / 'lm.arpa').write_text(WORD_ARPA)
+    from wenet_tpu.lm.build_graph import build_tlg
+    out = tmp_path / 'lang'
+    build_tlg((tmp_path / 'units.txt').as_posix(),
+              (tmp_path / 'lexicon.txt').as_posix(),
+              (tmp_path / 'lm.arpa').as_posix(), out.as_posix())
+    return out
+
+
+def _viterbi_accept(fst, ilabels):
+    """Best -log cost of accepting `ilabels` (eps moves free-form DP);
+    independent of the decoder — used as the golden oracle."""
+    import heapq as hq
+    start = (fst.start, 0)
+    dist = {start: 0.0}
+    pq = [(0.0, fst.start, 0)]
+    best = float('inf')
+    while pq:
+        cost, state, i = hq.heappop(pq)
+        if cost > dist.get((state, i), float('inf')):
+            continue
+        if i == len(ilabels):
+            fc = fst.final_cost(state)
+            if fc != float('inf'):
+                best = min(best, cost + fc)
+        for arc in fst.state_arcs(state):
+            if arc.ilabel == 0:
+                ni, ncost = i, cost + arc.weight
+            elif i < len(ilabels) and arc.ilabel == ilabels[i]:
+                ni, ncost = i + 1, cost + arc.weight
+            else:
+                continue
+            key = (arc.nextstate, ni)
+            if ncost < dist.get(key, float('inf')):
+                dist[key] = ncost
+                hq.heappush(pq, (ncost, arc.nextstate, ni))
+    return best
+
+
+def test_build_g_matches_arpa_scores(tmp_path):
+    """G acceptance cost == -NgramLM.score_sequence for every word
+    sequence (the G graph must encode exactly Katz backoff)."""
+    from wenet_tpu.lm.arpa import read_arpa
+    from wenet_tpu.lm.build_graph import build_g_fst
+    p = tmp_path / 'lm.arpa'
+    p.write_text(WORD_ARPA)
+    lm = read_arpa(p.as_posix())
+    word_ids = {'<eps>': 0, 'ab': 1, 'b': 2}
+    g = build_g_fst(lm, word_ids)
+    for seq in (['ab'], ['ab', 'b'], ['b'], ['b', 'ab'],
+                ['ab', 'ab'], ['b', 'b', 'ab']):
+        want = -lm.score_sequence(seq)
+        got = _viterbi_accept(g, [word_ids[w] for w in seq])
+        assert abs(got - want) < 1e-6, (seq, got, want)
+
+
+def test_build_tlg_end_to_end_decode(tlg_dir):
+    """Golden path: posteriors spelling `a a <blk> b` must decode to
+    word 'ab' with cost == acoustic viterbi + LM(ab) (hand-computed;
+    ref semantics: runtime/core/decoder/ctc_wfst_beam_search.cc
+    including blank handling via explicit T arcs)."""
+    from wenet_tpu.lm.fst import TextFst, read_symbol_table
+    from wenet_tpu.runtime.wfst_beam_search import CtcWfstBeamSearch
+    fst = TextFst.read((tlg_dir / 'TLG.txt').as_posix())
+    words = read_symbol_table((tlg_dir / 'words.txt').as_posix())
+    dec = CtcWfstBeamSearch(fst, word_table=words, beam_size=4,
+                            blank_skip_thresh=1.1)  # no frame skipping
+    # ctc ids: blank=0, a=1, b=2
+    T, V = 4, 3
+    logits = np.full((T, V), -3.0, np.float32)
+    logits[0, 1] = 3.0   # a
+    logits[1, 1] = 2.0   # a (repeat, collapses via T)
+    logits[2, 0] = 4.0   # blank (explicit blank arc, no skip)
+    logits[3, 2] = 3.0   # b
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    dec.search(logp)
+    dec.finalize_search()
+    assert dec.words() == ['ab']
+    # golden cost: acoustic best path + LM score of "ab"
+    acoustic = -(logp[0, 1] + logp[1, 1] + logp[2, 0] + logp[3, 2])
+    lm_cost = (0.2 + 0.3) * L10  # P(ab|<s>) + P(</s>|ab)
+    np.testing.assert_allclose(-dec.likelihood[0], acoustic + lm_cost,
+                               atol=1e-5)
+    # with frame timestamps from the emitting arc
+    assert dec.times[0] == [0]
+
+
+def test_tlg_nbest_distinct_word_sequences(tlg_dir):
+    """Lattice-style n-best: acoustics spelling `a b <blk> b` support
+    both 'ab b' and 'ab' — n-best must contain BOTH word sequences
+    with correctly ordered costs (round-1 gap: nbest was just distinct
+    final states)."""
+    from wenet_tpu.lm.fst import TextFst, read_symbol_table
+    from wenet_tpu.runtime.wfst_beam_search import CtcWfstBeamSearch
+    fst = TextFst.read((tlg_dir / 'TLG.txt').as_posix())
+    words = read_symbol_table((tlg_dir / 'words.txt').as_posix())
+    dec = CtcWfstBeamSearch(fst, word_table=words, beam_size=4,
+                            blank_skip_thresh=1.1, nbest_width=4)
+    T, V = 4, 3
+    logits = np.full((T, V), -1.0, np.float32)
+    logits[0, 1] = 3.0   # a
+    logits[1, 2] = 3.0   # b
+    logits[2, 0] = 1.5   # blank-ish (b also plausible)
+    logits[3, 2] = 1.5   # b-ish
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    dec.search(logp)
+    dec.finalize_search()
+    hyp_words = [tuple(words[w] for w in h) for h in dec.hypotheses]
+    assert ('ab',) in hyp_words
+    assert ('ab', 'b') in hyp_words
+    lik = dec.likelihood
+    assert all(lik[i] >= lik[i + 1] for i in range(len(lik) - 1))

@@ -1,30 +1,29 @@
 #!/usr/bin/env bash
-# Compose T (ctc topology), L (lexicon), G (arpa LM) into TLG.fst and
-# print the text serialization consumed by wenet_tpu's python decoder
-# (wenet_tpu/runtime/wfst_beam_search.py).  Analog of the reference
-# tools/fst/make_tlg.sh; requires openfst binaries on PATH at *build*
-# time only — the serving host needs just the text file.
+# Build TLG.txt for wenet_tpu's WFST decoder
+# (wenet_tpu/runtime/wfst_beam_search.py).
+#
+# Analog of the reference tools/fst/compile_lexicon_token_fst.sh +
+# tools/fst/make_tlg.sh, but pure python (wenet_tpu/lm/build_graph.py):
+# no openfst/kaldi binaries and no #N disambiguation symbols are needed
+# because the python pipeline never determinizes LG.
+#
+# usage: make_tlg.sh <lang-dir> <arpa> <out-dir>
+#   <lang-dir> must contain units.txt (model units, ctc ids) and
+#   lexicon.txt (`word unit1 unit2 ...`).
 set -e
-for tool in fstcompile fstdeterminize fstminimize fstarcsort \
-            fstcompose fstprint arpa2fst; do
-  command -v $tool >/dev/null || {
-    echo "ERROR: $tool not found. TLG graph *building* needs openfst" \
-         "+ kaldi arpa2fst installed (decode-time does not: the python" \
-         "decoder reads the text FST). Alternatively use ARPA shallow" \
-         "fusion (docs/lm.md) which needs no graph at all." >&2
-    exit 1
-  }
-done
-lang=$1   # dir with tokens.txt lexicon.txt words.txt
+if [ $# -ne 3 ]; then
+  echo "usage: $0 <lang-dir with units.txt lexicon.txt> <lm.arpa> <out>" >&2
+  exit 1
+fi
+lang=$1
 arpa=$2
 out=$3
-mkdir -p $out
-python3 $(dirname $0)/ctc_token_fst.py $lang/tokens.txt > $out/T.txt
-fstcompile --isymbols=$lang/tokens.txt --osymbols=$lang/tokens.txt \
-  $out/T.txt | fstarcsort --sort_type=olabel > $out/T.fst
-arpa2fst --read-symbol-table=$lang/words.txt $arpa $out/G.fst
-fstcompose $out/L.fst $out/G.fst | fstdeterminize | fstminimize | \
-  fstarcsort --sort_type=ilabel > $out/LG.fst
-fstcompose $out/T.fst $out/LG.fst > $out/TLG.fst
-fstprint $out/TLG.fst > $out/TLG.txt
-echo "wrote $out/TLG.txt (load with wenet_tpu.lm.fst.TextFst.read)"
+python3 - "$lang/units.txt" "$lang/lexicon.txt" "$arpa" "$out" <<'EOF'
+import sys
+from wenet_tpu.lm.build_graph import build_tlg
+tlg = build_tlg(sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4])
+n_arcs = sum(len(a) for a in tlg.arcs.values())
+print(f"wrote {sys.argv[4]}/TLG.txt "
+      f"({len(tlg.arcs)} states, {n_arcs} arcs) — load with "
+      f"wenet_tpu.lm.fst.TextFst.read")
+EOF

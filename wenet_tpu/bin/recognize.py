@@ -43,6 +43,15 @@ def get_args():
                              '(shallow-fusion analog of the reference '
                              'TLG LM path, docs/lm.md)')
     parser.add_argument('--lm_weight', type=float, default=0.5)
+    # hlg decode (ref recognize.py:144-167): modes hlg_onebest /
+    # hlg_rescore over an HLG.txt built by tools/k2/make_hlg.sh
+    parser.add_argument('--hlg', default='',
+                        help='HLG.txt, only used for hlg decode')
+    parser.add_argument('--word', default='',
+                        help='words.txt, only used for hlg decode')
+    parser.add_argument('--lm_scale', type=float, default=0.0)
+    parser.add_argument('--decoder_scale', type=float, default=0.0)
+    parser.add_argument('--r_decoder_scale', type=float, default=0.0)
     return parser.parse_args()
 
 
@@ -125,20 +134,47 @@ def main():
         files[mode] = open(os.path.join(d, 'text'), 'w',
                            encoding='utf8')
 
+    hlg_modes = [m for m in args.modes
+                 if m in ('hlg_onebest', 'hlg_rescore')]
+    runner_modes = [m for m in args.modes if m not in hlg_modes]
+
     for batch_idx, batch in enumerate(test_dataset):
         keys = batch['keys']
-        results = runner.decode(
-            args.modes, batch['feats'], batch['feats_lengths'],
-            beam_size=args.beam_size,
-            decoding_chunk_size=args.decoding_chunk_size,
-            num_decoding_left_chunks=args.num_decoding_left_chunks,
-            ctc_weight=args.ctc_weight,
-            simulate_streaming=args.simulate_streaming,
-            reverse_weight=args.reverse_weight,
-            context_graph=context_graph, blank_id=blank_id,
-            blank_penalty=args.blank_penalty,
-            length_penalty=args.length_penalty,
-            infos={'tasks': batch['tasks'], 'langs': batch['langs']})
+        results = {}
+        for mode in hlg_modes:
+            from wenet_tpu.models.k2.model import (hlg_onebest,
+                                                   hlg_rescore)
+            from wenet_tpu.models.transformer.search import DecodeResult
+            if mode == 'hlg_onebest':
+                hyps = hlg_onebest(model, runner.variables,
+                                   batch['feats'],
+                                   batch['feats_lengths'],
+                                   hlg=args.hlg, word=args.word,
+                                   symbol_table=tokenizer.symbol_table)
+            else:
+                hyps = hlg_rescore(model, runner.variables,
+                                   batch['feats'],
+                                   batch['feats_lengths'],
+                                   lm_scale=args.lm_scale,
+                                   decoder_scale=args.decoder_scale,
+                                   r_decoder_scale=args.r_decoder_scale,
+                                   hlg=args.hlg, word=args.word,
+                                   symbol_table=tokenizer.symbol_table)
+            results[mode] = [DecodeResult(h) for h in hyps]
+        if runner_modes:
+            results.update(runner.decode(
+                runner_modes, batch['feats'], batch['feats_lengths'],
+                beam_size=args.beam_size,
+                decoding_chunk_size=args.decoding_chunk_size,
+                num_decoding_left_chunks=args.num_decoding_left_chunks,
+                ctc_weight=args.ctc_weight,
+                simulate_streaming=args.simulate_streaming,
+                reverse_weight=args.reverse_weight,
+                context_graph=context_graph, blank_id=blank_id,
+                blank_penalty=args.blank_penalty,
+                length_penalty=args.length_penalty,
+                infos={'tasks': batch['tasks'],
+                       'langs': batch['langs']}))
         for mode, hyps in results.items():
             for i, key in enumerate(keys):
                 if lm is not None and hyps[i].nbest:
