@@ -66,15 +66,25 @@ class Executor:
             self.train_step_timer = StepTimer(self.step)
         rng = jax.random.PRNGKey(configs.get('seed', 777) + epoch)
         prof = configs.get('profile')
-        for batch_idx, batch in enumerate(train_data_loader):
+        from wenet_tpu.utils.train_utils import wenet_join
+        data_iter = iter(train_data_loader)
+        while True:
+            # pull the next non-empty local batch, then reach all-hosts
+            # consensus BEFORE entering the collective step program
+            # (uneven shards would otherwise deadlock multi-host pjit;
+            # ref train_utils.py:640-666 wenet_join)
+            batch = next(data_iter, None)
+            while batch is not None and \
+                    batch['target_lengths'].size == 0:
+                batch = next(data_iter, None)
+            if wenet_join(batch is not None):
+                break
             if prof is not None and self.step == prof['start']:
                 jax.profiler.start_trace(prof['dir'])
             if prof is not None and \
                     self.step == prof['start'] + prof['steps']:
                 jax.profiler.stop_trace()
                 prof = None
-            if batch['target_lengths'].size == 0:
-                continue
             dbatch = _to_device_batch(batch, mesh)
             state, metrics = train_step_fn(state, dbatch, rng)
             self.step += 1

@@ -225,3 +225,24 @@ def compile_train_step(model, tx, mesh, schedule=None,
         out_shardings=(st, rep),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def wenet_join(has_data: bool) -> bool:
+    """Multi-host uneven-data guard (analog of the reference's
+    `wenet_join` monitored_barrier on a gloo side-group,
+    ref wenet/utils/train_utils.py:640-666).
+
+    Each host reports whether its data iterator produced another batch;
+    the all-gather consensus makes EVERY host break the epoch at the
+    same step as soon as any host is exhausted — otherwise a multi-host
+    pjit program would be entered by a subset of hosts and deadlock.
+
+    Returns True when the epoch must stop (some host ran out).
+    """
+    if jax.process_count() == 1:
+        return not has_data
+    from jax.experimental import multihost_utils
+    import numpy as np
+    flags = multihost_utils.process_allgather(
+        jnp.asarray([1 if has_data else 0], jnp.int32))
+    return bool(np.min(np.asarray(flags)) == 0)
