@@ -224,3 +224,38 @@ def test_relpos_attention_module_flash_dispatch():
         A.enable_flash_attention(False, min_len=512)
     np.testing.assert_allclose(np.asarray(flashed), np.asarray(base),
                                atol=2e-5)
+
+
+@pytest.mark.slow
+def test_relpos_flash_grad_parity_long_t():
+    """Training backward at T>=1024: blockwise kernel grads vs XLA
+    autodiff of the materializing reference — the long-T rel-pos
+    training case the kernel exists for (VERDICT round-1 item #9).
+    Also exercises the broadcast-p (1, h, T, d) grad reduction."""
+    from wenet_tpu.ops.flash_attention import (_relpos_reference,
+                                               flash_attention_relpos)
+    B, h, T, d = 1, 2, 1024, 32
+    rng = np.random.RandomState(11)
+    q1 = jnp.asarray(rng.randn(B, h, T, d), jnp.float32) * 0.3
+    q2 = jnp.asarray(rng.randn(B, h, T, d), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(B, h, T, d), jnp.float32) * 0.3
+    p = jnp.asarray(rng.randn(1, h, T, d), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(B, h, T, d), jnp.float32) * 0.3
+    lens = np.asarray([T - 37])
+    mask = jnp.asarray(np.arange(T)[None, :] < lens[:, None])[:, None, :]
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_f(q1, q2, k, p, v):
+        return jnp.sum(jnp.tanh(flash_attention_relpos(
+            q1, q2, k, p, v, mask, scale, 128, 128)))
+
+    def loss_r(q1, q2, k, p, v):
+        return jnp.sum(jnp.tanh(_relpos_reference(
+            q1, q2, k, p, v, mask[:, None], scale)))
+
+    g_f = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(q1, q2, k, p, v)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(q1, q2, k, p, v)
+    for name, a, b in zip('q1 q2 k p v'.split(), g_f, g_r):
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3, err_msg=name)

@@ -10,10 +10,12 @@ long-form conformer), where the score matrix dominates HBM traffic.
 
 Forward supports the full `attention_core` contract: boolean mask
 (True == attend) and an additive pre-scale bias (rel-pos matrix_bd) —
-both read tile-by-tile.  The custom-VJP backward (flash-attention
+both read tile-by-tile.  Custom-VJP backwards (flash-attention
 backward recomputation: dq kernel streaming kv tiles, dk/dv kernel
-streaming q tiles, logsumexp residuals) covers the mask path; the bias
-path is inference-only (rel-pos training keeps the XLA attention).
+streaming q tiles, logsumexp residuals) cover both the mask/bias path
+(`flash_attention`) and the fused two-query rel-pos path
+(`flash_attention_relpos`, `_relpos_bwd_*`) — long-T rel-pos TRAINING
+never materializes (T1, T2) scores either direction.
 
 ref behavior: wenet/models/transformer/attention.py:105-172 (the
 masked-softmax semantics this kernel must reproduce, incl. fully-masked
@@ -187,7 +189,7 @@ def _fwd_call(q, k, v, mask, bias, scale, block_q, block_k,
 
 
 # ---------------------------------------------------------------------------
-# backward (mask path only; bias path is inference-only)
+# backward (mask + bias paths)
 # ---------------------------------------------------------------------------
 def _bwd_dq_kernel(*refs, scale: float, block_k: int, kv_len: int,
                    has_mask: bool, has_bias: bool):
@@ -501,9 +503,16 @@ def flash_attention(q: jax.Array,
 #  p = projected position embeddings — ref attention.py:307-438)
 # ---------------------------------------------------------------------------
 def _relpos_fwd_kernel(*refs, scale: float, block_k: int, kv_len: int,
-                       has_mask: bool):
-    if has_mask:
+                       has_mask: bool, has_lse: bool = False):
+    lse_ref = None
+    if has_mask and has_lse:
+        (q1_ref, q2_ref, k_ref, p_ref, v_ref, mask_ref, o_ref,
+         lse_ref) = refs
+    elif has_mask:
         q1_ref, q2_ref, k_ref, p_ref, v_ref, mask_ref, o_ref = refs
+    elif has_lse:
+        q1_ref, q2_ref, k_ref, p_ref, v_ref, o_ref, lse_ref = refs
+        mask_ref = None
     else:
         q1_ref, q2_ref, k_ref, p_ref, v_ref, o_ref = refs
         mask_ref = None
@@ -543,6 +552,11 @@ def _relpos_fwd_kernel(*refs, scale: float, block_k: int, kv_len: int,
     safe_l = jnp.where(l > 0.0, l, 1.0)
     out = jnp.where((l > 0.0)[:, None], acc / safe_l[:, None], 0.0)
     o_ref[0] = out.astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse = jnp.where(l > 0.0, m + jnp.log(safe_l), NEG_INF)
+        lse_ref[0] = jnp.broadcast_to(lse[:, None],
+                                      lse_ref.shape[1:]).astype(
+                                          lse_ref.dtype)
 
 
 def _relpos_reference(q1, q2, k, p, v, mask, scale):
@@ -561,7 +575,8 @@ def _relpos_reference(q1, q2, k, p, v, mask, scale):
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q, block_k):
+def _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q, block_k,
+                     want_lse: bool = False):
     B, h, T1, d = q1.shape
     T2 = k.shape[2]
     block_q = min(block_q, max(T1, 1))
@@ -592,15 +607,229 @@ def _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q, block_k):
             lambda b, i, j, hm=hm: (b * hm + (i if hm > 1 else 0), j,
                                     0)))
         args.append(m)
-    out = pl.pallas_call(
+    out_specs = [qspec]
+    out_shape = [jax.ShapeDtypeStruct((B * h, T1p, d), v.dtype)]
+    if want_lse:
+        out_specs.append(pl.BlockSpec(
+            (1, block_q, 128), lambda b, i, j: (b * h + i, j, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B * h, T1p, 128),
+                                              jnp.float32))
+    res = pl.pallas_call(
         functools.partial(_relpos_fwd_kernel, scale=scale,
                           block_k=block_k, kv_len=T2p,
-                          has_mask=has_mask),
+                          has_mask=has_mask, has_lse=want_lse),
         grid=grid, in_specs=in_specs,
-        out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((B * h, T1p, d), v.dtype),
+        out_specs=out_specs if want_lse else out_specs[0],
+        out_shape=out_shape if want_lse else out_shape[0],
     )(*args)
-    return out.reshape(B, h, T1p, d)[:, :, :T1]
+    if want_lse:
+        out, lse = res
+        return (out.reshape(B, h, T1p, d)[:, :, :T1],
+                lse[:, :, 0].reshape(B, h, T1p)[:, :, :T1])
+    return res.reshape(B, h, T1p, d)[:, :, :T1]
+
+
+# ---------------------------------------------------------------------------
+# rel-pos training backward: blockwise recomputation, no (T1, T2)
+# scores/softmax residuals in HBM (VERDICT.md round-1 item #9 — the
+# previous backward fell back to the materializing jnp reference)
+# ---------------------------------------------------------------------------
+def _relpos_bwd_dq_kernel(*refs, scale: float, block_k: int,
+                          kv_len: int, has_mask: bool):
+    idx = 5
+    q1_ref, q2_ref, k_ref, p_ref, v_ref = refs[:5]
+    mask_ref = None
+    if has_mask:
+        mask_ref = refs[idx]
+        idx += 1
+    do_ref, lse_ref, delta_ref, dq1_ref, dq2_ref = refs[idx:idx + 5]
+    q1 = q1_ref[0].astype(jnp.float32)
+    q2 = q2_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0].astype(jnp.float32)
+    delta = delta_ref[0, :, 0].astype(jnp.float32)
+    block_q, d = q1.shape
+
+    def body(i, carry):
+        dq1, dq2 = carry
+        k = k_ref[0, pl.dslice(i * block_k, block_k)].astype(jnp.float32)
+        p = p_ref[0, pl.dslice(i * block_k, block_k)].astype(jnp.float32)
+        v = v_ref[0, pl.dslice(i * block_k, block_k)].astype(jnp.float32)
+        s = (jax.lax.dot_general(q1, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) +
+             jax.lax.dot_general(q2, p, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32))
+        s = s * scale
+        if has_mask:
+            m = mask_ref[0, :, pl.dslice(i * block_k, block_k)] != 0
+            s = jnp.where(m, s, NEG_INF)
+        pgt = jnp.where(s <= NEG_INF * 0.5, 0.0,
+                        jnp.exp(s - lse[:, None]))
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = pgt * (dp - delta[:, None]) * scale
+        dq1 = dq1 + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq2 = dq2 + jax.lax.dot_general(
+            ds, p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dq1, dq2
+
+    z = jnp.zeros((block_q, d), jnp.float32)
+    dq1, dq2 = jax.lax.fori_loop(0, kv_len // block_k, body, (z, z))
+    dq1_ref[0] = dq1.astype(dq1_ref.dtype)
+    dq2_ref[0] = dq2.astype(dq2_ref.dtype)
+
+
+def _relpos_bwd_dkpv_kernel(*refs, scale: float, block_q: int,
+                            q_len: int, has_mask: bool):
+    idx = 5
+    q1_ref, q2_ref, k_ref, p_ref, v_ref = refs[:5]
+    mask_ref = None
+    if has_mask:
+        mask_ref = refs[idx]
+        idx += 1
+    (do_ref, lse_ref, delta_ref, dk_ref, dp_ref,
+     dv_ref) = refs[idx:idx + 6]
+    k = k_ref[0].astype(jnp.float32)
+    p = p_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, d = k.shape
+
+    def body(i, carry):
+        dk, dp_, dv = carry
+        q1 = q1_ref[0, pl.dslice(i * block_q,
+                                 block_q)].astype(jnp.float32)
+        q2 = q2_ref[0, pl.dslice(i * block_q,
+                                 block_q)].astype(jnp.float32)
+        do = do_ref[0, pl.dslice(i * block_q,
+                                 block_q)].astype(jnp.float32)
+        lse = lse_ref[0, pl.dslice(i * block_q, block_q),
+                      0].astype(jnp.float32)
+        delta = delta_ref[0, pl.dslice(i * block_q, block_q),
+                          0].astype(jnp.float32)
+        s = (jax.lax.dot_general(q1, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) +
+             jax.lax.dot_general(q2, p, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32))
+        s = s * scale
+        if has_mask:
+            m = mask_ref[0, pl.dslice(i * block_q, block_q)] != 0
+            s = jnp.where(m, s, NEG_INF)
+        pgt = jnp.where(s <= NEG_INF * 0.5, 0.0,
+                        jnp.exp(s - lse[:, None]))
+        dv = dv + jax.lax.dot_general(
+            pgt, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpv = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ds = pgt * (dpv - delta[:, None]) * scale
+        dk = dk + jax.lax.dot_general(
+            ds, q1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp_ = dp_ + jax.lax.dot_general(
+            ds, q2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk, dp_, dv
+
+    z = jnp.zeros((block_k, d), jnp.float32)
+    dk, dp_, dv = jax.lax.fori_loop(0, q_len // block_q, body,
+                                    (z, z, z))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dp_ref[0] = dp_.astype(dp_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _relpos_bwd_call(q1, q2, k, p, v, mask, out, lse, dout, scale,
+                     block_q, block_k):
+    B, h, T1, d = q1.shape
+    T2 = k.shape[2]
+    block_q = min(block_q, max(T1, 1))
+    block_k = min(block_k, max(T2, 1))
+    pq = (-T1) % block_q
+    pk = (-T2) % block_k
+    T1p, T2p = T1 + pq, T2 + pk
+    pad_q = ((0, 0), (0, 0), (0, pq), (0, 0))
+    pad_k = ((0, 0), (0, 0), (0, pk), (0, 0))
+    q1p = jnp.pad(q1, pad_q).reshape(B * h, T1p, d)
+    q2p = jnp.pad(q2, pad_q).reshape(B * h, T1p, d)
+    kp = jnp.pad(k, pad_k).reshape(B * h, T2p, d)
+    pp = jnp.pad(jnp.broadcast_to(p, (B, h, T2, d)),
+                 pad_k).reshape(B * h, T2p, d)
+    vp = jnp.pad(v, pad_k).reshape(B * h, T2p, d)
+    do_p = jnp.pad(dout, pad_q).reshape(B * h, T1p, d)
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)
+    delta_p = jnp.broadcast_to(
+        jnp.pad(delta, ((0, 0), (0, 0), (0, pq))).reshape(
+            B * h, T1p)[:, :, None], (B * h, T1p, 128))
+    lse_p = jnp.broadcast_to(
+        jnp.pad(lse, ((0, 0), (0, 0), (0, pq))).reshape(
+            B * h, T1p)[:, :, None], (B * h, T1p, 128))
+
+    has_mask = mask is not None or pk > 0
+    if has_mask:
+        m, hm = _prep_mask(mask, B, T1, T2, pq, pk)
+
+    qspec = pl.BlockSpec((1, block_q, d),
+                         lambda b, i, j: (b * h + i, j, 0))
+    kv_full = pl.BlockSpec((1, T2p, d), lambda b, i, j: (b * h + i, 0, 0))
+    aux_spec = pl.BlockSpec((1, block_q, 128),
+                            lambda b, i, j: (b * h + i, j, 0))
+    # dq1/dq2: grid over q tiles
+    in_specs = [qspec, qspec, kv_full, kv_full, kv_full]
+    args = [q1p, q2p, kp, pp, vp]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, T2p),
+            lambda b, i, j, hm=hm: (b * hm + (i if hm > 1 else 0), j,
+                                    0)))
+        args.append(m)
+    in_specs += [qspec, aux_spec, aux_spec]
+    args += [do_p, lse_p, delta_p]
+    dq1, dq2 = pl.pallas_call(
+        functools.partial(_relpos_bwd_dq_kernel, scale=scale,
+                          block_k=block_k, kv_len=T2p,
+                          has_mask=has_mask),
+        grid=(B, h, T1p // block_q),
+        in_specs=in_specs, out_specs=[qspec, qspec],
+        out_shape=[jax.ShapeDtypeStruct((B * h, T1p, d), q1.dtype),
+                   jax.ShapeDtypeStruct((B * h, T1p, d), q2.dtype)],
+    )(*args)
+
+    # dk/dp/dv: grid over kv tiles
+    q_full = pl.BlockSpec((1, T1p, d), lambda b, i, j: (b * h + i, 0, 0))
+    kspec = pl.BlockSpec((1, block_k, d),
+                         lambda b, i, j: (b * h + i, j, 0))
+    aux_full = pl.BlockSpec((1, T1p, 128),
+                            lambda b, i, j: (b * h + i, 0, 0))
+    in_specs = [q_full, q_full, kspec, kspec, kspec]
+    args = [q1p, q2p, kp, pp, vp]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(
+            (1, T1p, block_k),
+            lambda b, i, j, hm=hm: (b * hm + (i if hm > 1 else 0), 0,
+                                    j)))
+        args.append(m)
+    in_specs += [q_full, aux_full, aux_full]
+    args += [do_p, lse_p, delta_p]
+    dk, dp, dv = pl.pallas_call(
+        functools.partial(_relpos_bwd_dkpv_kernel, scale=scale,
+                          block_q=block_q, q_len=T1p,
+                          has_mask=has_mask),
+        grid=(B, h, T2p // block_k),
+        in_specs=in_specs, out_specs=[kspec, kspec, kspec],
+        out_shape=[jax.ShapeDtypeStruct((B * h, T2p, d), k.dtype),
+                   jax.ShapeDtypeStruct((B * h, T2p, d), jnp.float32),
+                   jax.ShapeDtypeStruct((B * h, T2p, d), v.dtype)],
+    )(*args)
+    dq1 = dq1.reshape(B, h, T1p, d)[:, :, :T1]
+    dq2 = dq2.reshape(B, h, T1p, d)[:, :, :T1]
+    dk = dk.reshape(B, h, T2p, d)[:, :, :T2]
+    dp = dp.reshape(B, h, T2p, d)[:, :, :T2]
+    dv = dv.reshape(B, h, T2p, d)[:, :, :T2]
+    return dq1, dq2, dk, dp, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -610,28 +839,28 @@ def flash_attention_relpos(q1, q2, k, p, v, mask=None, scale=1.0,
     never materializes the (T1, T2) bias or scores in HBM.
 
     q1 = q + pos_bias_u, q2 = q + pos_bias_v; p broadcastable
-    (1|B, h, T2, d).  Backward differentiates the reference jnp
-    formulation (XLA handles the training memory), so this is safe
-    under jax.grad."""
+    (1|B, h, T2, d).  Backward is the blockwise recomputation kernels
+    (_relpos_bwd_*): neither direction materializes (T1, T2) scores or
+    softmax residuals in HBM, so long-T rel-pos TRAINING gets the same
+    memory profile as inference."""
     return _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q,
                             block_k)
 
 
 def _relpos_vjp_fwd(q1, q2, k, p, v, mask, scale, block_q, block_k):
-    out = _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q,
-                           block_k)
-    return out, (q1, q2, k, p, v, mask)
+    out, lse = _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q,
+                                block_k, want_lse=True)
+    return out, (q1, q2, k, p, v, mask, out, lse)
 
 
 def _relpos_vjp_bwd(scale, block_q, block_k, res, dout):
-    q1, q2, k, p, v, mask = res
-    _, vjp = jax.vjp(
-        lambda q1_, q2_, k_, p_, v_: _relpos_reference(
-            q1_, q2_, k_, p_, v_, mask, scale), q1, q2, k, p, v)
-    dq1, dq2, dk, dp, dv = vjp(dout)
-    # p may have been broadcast over batch; reduce the grad back
+    q1, q2, k, p, v, mask, out, lse = res
+    dq1, dq2, dk, dp, dv = _relpos_bwd_call(
+        q1, q2, k, p, v, mask, out, lse, dout, scale, block_q, block_k)
+    # p may have been broadcast over batch/head; reduce the grad back
     if p.shape[0] == 1 and dp.shape[0] != 1:
         dp = jnp.sum(dp, axis=0, keepdims=True)
+    dp = dp.astype(p.dtype)
     return dq1, dq2, dk, dp, dv, None
 
 
