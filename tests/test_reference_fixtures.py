@@ -136,3 +136,43 @@ def test_bpe_tokenizer_on_reference_model():
     _, ids = tok.tokenize(LIBRI_TXT)
     assert len(ids) > 10
     assert tok.detokenize(ids)[0] == LIBRI_TXT
+
+
+def test_shard_streams_over_http(fixture_lists):
+    """UIO must stream shards from URLs, not just local paths
+    (ref datapipes.py:365-427 + processor.py:73-93 parse_url): serve
+    the reference's tar over a local http server and assert feature
+    equality with the local-path read."""
+    import functools
+    import http.server
+    import threading
+
+    from wenet_tpu.dataset.dataset import Dataset
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=f'{RES}/dataset/shards')
+    srv = http.server.ThreadingHTTPServer(('127.0.0.1', 0), handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = srv.server_address[1]
+        url_list = fixture_lists / 'shard_url.list'
+        url_list.write_text(
+            f'http://127.0.0.1:{port}/shards_000000000.tar\n')
+        conf = {
+            'list_shuffle': False, 'shuffle': False, 'sort': False,
+            'spec_aug': False,
+            'filter_conf': {'max_length': 102400, 'min_length': 0,
+                            'token_min_length': 1},
+            'fbank_conf': {'num_mel_bins': 80, 'dither': 0.0},
+            'batch_conf': {'batch_type': 'static', 'batch_size': 2},
+        }
+        tok = _tokenizer()
+        local = list(Dataset('shard', str(fixture_lists / 'shard.list'),
+                             tok, conf))
+        remote = list(Dataset('shard', str(url_list), tok, conf))
+        assert len(local) == len(remote) == 1
+        np.testing.assert_allclose(local[0]['feats'],
+                                   remote[0]['feats'], atol=1e-6)
+        assert list(local[0]['keys']) == list(remote[0]['keys'])
+    finally:
+        srv.shutdown()

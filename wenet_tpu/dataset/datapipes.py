@@ -227,20 +227,43 @@ def parse_json_line(sample: dict) -> dict:
     return obj
 
 
+def _open_shard_stream(url: str):
+    """Local path, file://, http(s):// (stdlib urllib), or any other
+    scheme via a `wget -q -O -` pipe (HDFS/OSS/S3 gateways, matching
+    ref wenet/dataset/processor.py:73-93 parse_url).  Returns
+    (stream, process-or-None)."""
+    from urllib.parse import urlparse
+    pr = urlparse(url)
+    if pr.scheme in ('', 'file'):
+        return open(pr.path if pr.scheme == 'file' else url, 'rb'), None
+    if pr.scheme in ('http', 'https'):
+        import urllib.request
+        return urllib.request.urlopen(url), None
+    import subprocess
+    proc = subprocess.Popen(['wget', '-q', '-O', '-', url],
+                            stdout=subprocess.PIPE)
+    return proc.stdout, proc
+
+
 def tar_source(shard_list: Iterable[dict]) -> DataPipe:
-    """UIO tar-shard reader: open each shard (local path or url line) and
-    group members by key prefix.  ref: datapipes.py:365-427."""
+    """UIO tar-shard reader: open each shard (local path or URL line),
+    stream-decode the tar and group members by key prefix.
+    ref: datapipes.py:365-427."""
 
     def gen():
         for sample in shard_list:
             url = sample['line'] if isinstance(sample, dict) else sample
+            proc = None
             try:
-                stream = open(url, 'rb')
+                stream, proc = _open_shard_stream(url)
             except Exception as ex:  # noqa: BLE001
                 logger.warning('failed to open shard %s: %s', url, ex)
                 continue
             try:
-                with tarfile.open(fileobj=stream, mode='r:*') as tar:
+                # streaming mode ('r|*'): works over non-seekable
+                # sources (http/pipe) and reads local files
+                # sequentially, which is all the loop below needs
+                with tarfile.open(fileobj=stream, mode='r|*') as tar:
                     prev_prefix = None
                     example = {}
                     valid = True
@@ -275,5 +298,7 @@ def tar_source(shard_list: Iterable[dict]) -> DataPipe:
                 logger.warning('error reading shard %s: %s', url, ex)
             finally:
                 stream.close()
+                if proc is not None:
+                    proc.communicate()
 
     return _Gen(gen)
