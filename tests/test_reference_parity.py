@@ -331,3 +331,54 @@ def test_whisper_encoder_parity(whisper_pair):
                            method=jmodel.forward_encoder)
     np.testing.assert_allclose(np.asarray(jout), tout.numpy(),
                                atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# streaming chunk-by-chunk vs the real reference encoder
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope='module')
+def causal_pair():
+    """Causal-conv dynamic-chunk conformer (the streaming flagship)."""
+    cfgs = copy.deepcopy(CONFIGS)
+    cfgs['encoder_conf'].update(causal=True, use_dynamic_chunk=True,
+                                cnn_module_norm='layer_norm')
+    torch.manual_seed(31)
+    tmodel, _ = ref_init_model(SimpleNamespace(), copy.deepcopy(cfgs))
+    tmodel.eval()
+    jmodel, jcfgs = our_init_model(None, copy.deepcopy(cfgs))
+    variables, _ = init_variables(jmodel, jcfgs)
+    variables = convert_torch_state_dict(tmodel.state_dict(), variables,
+                                         strict=True)
+    return tmodel, jmodel, variables
+
+
+@pytest.mark.slow
+def test_streaming_chunk_by_chunk_parity(causal_pair):
+    """Our fixed-shape ring-cache streaming must produce the SAME
+    frames as the reference's growing-cache forward_chunk_by_chunk
+    (ref encoder.py:302-362) — cross-implementation, not just
+    stream==full self-consistency."""
+    from wenet_tpu.models.transformer.streaming import (
+        StreamingConfig, forward_chunk_by_chunk)
+    tmodel, jmodel, variables = causal_pair
+    rng = np.random.RandomState(9)
+    T = 64
+    feats = rng.randn(1, T, IDIM).astype(np.float32)
+    with torch.no_grad():
+        ref_ys, _ = tmodel.encoder.forward_chunk_by_chunk(
+            torch.tensor(feats), decoding_chunk_size=4,
+            num_decoding_left_chunks=2)
+    ref_ys = ref_ys.numpy()
+
+    enc = jmodel.encoder
+    cfg = StreamingConfig(decoding_chunk_size=4,
+                          num_decoding_left_chunks=2,
+                          subsampling_rate=enc.subsampling_rate,
+                          right_context=enc.right_context)
+    ys, _ = forward_chunk_by_chunk(jmodel, variables,
+                                   jnp.asarray(feats), cfg)
+    ys = np.asarray(ys)
+    n = min(ys.shape[1], ref_ys.shape[1])
+    assert n > 0
+    np.testing.assert_allclose(ys[:, :n], ref_ys[:, :n], atol=3e-4,
+                               rtol=3e-4)
