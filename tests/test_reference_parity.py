@@ -382,3 +382,62 @@ def test_streaming_chunk_by_chunk_parity(causal_pair):
     assert n > 0
     np.testing.assert_allclose(ys[:, :n], ref_ys[:, :n], atol=3e-4,
                                rtol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# LR schedule numeric parity vs the real reference schedulers
+# ---------------------------------------------------------------------------
+def test_scheduler_parity():
+    """Our functional schedules must match the reference
+    torch.optim schedulers step-for-step (ref wenet/utils/scheduler.py:
+    WarmupLR:26, NoamHoldAnnealing:629, CosineAnnealing:502)."""
+    from wenet.utils.scheduler import (CosineAnnealing,
+                                       NoamHoldAnnealing, WarmupLR)
+
+    from wenet_tpu.utils.scheduler import build_schedule
+
+    probe = [0, 1, 10, 999, 1000, 1001, 5000, 20000, 24999]
+
+    def ref_lrs(sched_cls, opt_lr, steps, **kw):
+        opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))],
+                               lr=opt_lr)
+        sch = sched_cls(opt, **kw)
+        out = {}
+        for step in range(max(steps) + 1):
+            if step in steps:
+                out[step] = opt.param_groups[0]['lr']
+            opt.step()
+            sch.step()
+        return out
+
+    # WarmupLR (the default recipe scheduler)
+    ref = ref_lrs(WarmupLR, 0.002, probe, warmup_steps=1000)
+    ours = build_schedule('warmuplr', {'warmup_steps': 1000}, lr=0.002)
+    for step, want in ref.items():
+        got = float(ours(step))
+        assert abs(got - want) < 1e-9 * max(1.0, abs(want)) + 1e-12, (
+            'warmuplr', step, got, want)
+
+    # NoamHoldAnnealing (whisper finetune recipes)
+    ref = ref_lrs(NoamHoldAnnealing, 0.001, probe, warmup_steps=500,
+                  hold_steps=1500, max_steps=25000, decay_rate=1.0,
+                  min_lr=1e-5)
+    ours = build_schedule('NoamHoldAnnealing',
+                          {'warmup_steps': 500, 'hold_steps': 1500,
+                           'max_steps': 25000, 'decay_rate': 1.0,
+                           'min_lr': 1e-5}, lr=0.001)
+    for step, want in ref.items():
+        got = float(ours(step))
+        assert abs(got - want) < 1e-6 * max(1.0, abs(want)) + 1e-10, (
+            'noamhold', step, got, want)
+
+    # CosineAnnealing
+    ref = ref_lrs(CosineAnnealing, 0.001, probe, warmup_steps=500,
+                  max_steps=25000, min_lr=1e-6)
+    ours = build_schedule('cosine_annealing',
+                          {'warmup_steps': 500, 'max_steps': 25000,
+                           'min_lr': 1e-6}, lr=0.001)
+    for step, want in ref.items():
+        got = float(ours(step))
+        assert abs(got - want) < 1e-6 * max(1.0, abs(want)) + 1e-10, (
+            'cosine', step, got, want)

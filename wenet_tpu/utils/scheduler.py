@@ -38,20 +38,27 @@ def noam_annealing(lr: float, d_model: int, warmup_steps: int,
 
 
 def noam_hold_annealing(lr: float, warmup_steps: int, hold_steps: int,
-                        decay_rate: float = 0.5,
+                        max_steps: int = 0, decay_rate: float = 0.5,
                         min_lr: float = 0.0) -> Callable:
-    """ref: scheduler.py:629-722 (_noam_hold_annealing :438-447)."""
+    """ref: scheduler.py:629-722 — exact WarmupHoldPolicy semantics
+    (get_lr :262-284 + _noam_hold_annealing :438-447): warmup is
+    (step+1)/(warmup+1); the hold REGION spans warmup..warmup+hold but
+    the decay divisor is (step - hold)**decay_rate (NoamHoldAnnealing
+    subtracts warmup back before calling the formula, :705-710); past
+    max_steps the lr pins to min_lr."""
+    hold_total = hold_steps + warmup_steps
 
     def schedule(step):
-        s = (step + 1).astype(jnp.float32) if hasattr(step, 'astype') \
-            else float(step + 1)
-        s = jnp.asarray(s, jnp.float32)
-        warm = lr * s / max(warmup_steps, 1)
+        s = jnp.asarray(step, jnp.float32)
+        warm = lr * (s + 1.0) / (warmup_steps + 1.0)
         t_warm = max(1.0, warmup_steps**decay_rate)
-        t_hold = jnp.maximum(1.0, (s - hold_steps)**decay_rate)
-        anneal = jnp.maximum(lr * t_warm / t_hold, min_lr)
-        out = jnp.where(s <= warmup_steps, warm,
-                        jnp.where(s <= hold_steps, lr, anneal))
+        t_decay = jnp.maximum(
+            1.0, jnp.maximum(s - hold_steps, 0.0)**decay_rate)
+        anneal = jnp.maximum(lr * t_warm / t_decay, min_lr)
+        if max_steps > 0:
+            anneal = jnp.where(s > max_steps, min_lr, anneal)
+        out = jnp.where((s <= warmup_steps) & (warmup_steps > 0), warm,
+                        jnp.where(s < hold_total, lr, anneal))
         return out
 
     return schedule
@@ -62,14 +69,17 @@ def cosine_annealing(lr: float, max_steps: int, warmup_steps: int = 0,
     """ref: scheduler.py:502-560 (_cosine_annealing :396-399)."""
 
     def schedule(step):
-        s = jnp.asarray(step + 1, jnp.float32)
-        warm = lr * s / max(warmup_steps, 1)
+        # exact WarmupPolicy semantics (ref scheduler.py:115-135 +
+        # _cosine_annealing :396-399)
+        s = jnp.asarray(step, jnp.float32)
+        warm = lr * (s + 1.0) / (warmup_steps + 1.0)
         frac = jnp.clip((s - warmup_steps) /
                         max(max_steps - warmup_steps, 1), 0.0, 1.0)
         mult = 0.5 * (1 + jnp.cos(math.pi * frac))
         ann = (lr - min_lr) * mult + min_lr
-        return jnp.where(s <= warmup_steps, warm, ann) \
-            if warmup_steps > 0 else ann
+        ann = jnp.where(s > max_steps, min_lr, ann)
+        return jnp.where((s <= warmup_steps) & (warmup_steps > 0),
+                         warm, ann)
 
     return schedule
 
@@ -98,14 +108,18 @@ def build_schedule(scheduler: str, scheduler_conf: dict,
     if name == 'warmuplr':
         return warmup_lr(lr, conf.get('warmup_steps', 25000))
     if name.lower() == 'noamholdannealing':
+        # ref WarmupHoldPolicy: warmup/hold given as steps or as ratios
+        # of max_steps; the hold REGION spans warmup..warmup+hold
+        # (scheduler.py:239-251 — noam_hold_annealing adds warmup)
         max_steps = conf.get('max_steps', 100000)
-        hold_ratio = conf.get('hold_ratio', 0.3)
-        warmup = conf.get('warmup_steps',
-                          int(conf.get('warmup_ratio', 0.2) * max_steps)
-                          if 'warmup_ratio' in conf else 10000)
-        hold = warmup + int(hold_ratio * (max_steps - warmup))
-        return noam_hold_annealing(lr, warmup, hold,
-                                   conf.get('decay_rate', 1.0),
+        warmup = conf.get('warmup_steps')
+        if warmup is None:
+            warmup = int(conf.get('warmup_ratio', 0.0) * max_steps)
+        hold = conf.get('hold_steps')
+        if hold is None:
+            hold = int(conf.get('hold_ratio', 0.0) * max_steps)
+        return noam_hold_annealing(lr, warmup, hold, max_steps,
+                                   conf.get('decay_rate', 0.5),
                                    conf.get('min_lr', 0.0))
     if name == 'noam_annealing':
         return noam_annealing(lr, conf.get('d_model', 256),
