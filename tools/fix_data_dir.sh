@@ -1,0 +1,3 @@
+#!/usr/bin/env bash
+# ref: tools/fix_data_dir.sh — forwards to the python data-dir utilities.
+exec python3 "$(dirname "$0")/data_dir.py" fix "$@"

@@ -6,6 +6,13 @@ Public API mirrors the reference (ref wenet/__init__.py:1):
     result = model.transcribe('audio.wav')
 """
 
-from wenet_tpu.cli.model import load_model  # noqa: F401
-
 __version__ = '0.1.0'
+
+
+def __getattr__(name):
+    # Lazy: `import wenet_tpu.dataset.kaldi_io` from a data-prep tool
+    # must not pay the jax import that cli.model pulls in.
+    if name == 'load_model':
+        from wenet_tpu.cli.model import load_model
+        return load_model
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

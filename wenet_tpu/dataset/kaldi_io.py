@@ -167,14 +167,20 @@ def write_vec_flt(f, vec: np.ndarray, key: str = '') -> int:
 
 
 def write_ark_scp(ark_path: str,
-                  mats: Dict[str, np.ndarray],
-                  scp_path: str = None):
-    """Convenience: write {key: matrix} to ark (+ optional scp)."""
+                  mats,
+                  scp_path: str = None) -> int:
+    """Convenience: write {key: matrix} (or an iterable of (key, mat)
+    pairs) to ark (+ optional scp). Returns the number of matrices."""
+    if isinstance(mats, dict):
+        mats = mats.items()
+    n = 0
     scp = open(scp_path, 'w', encoding='utf-8') if scp_path else None
     with open(ark_path, 'wb') as f:
-        for key, mat in mats.items():
+        for key, mat in mats:
             offset = write_mat(f, mat, key)
+            n += 1
             if scp:
                 scp.write(f'{key} {ark_path}:{offset}\n')
     if scp:
         scp.close()
+    return n
