@@ -42,8 +42,11 @@ def build_decoder(args):
         from wenet_tpu.lm.arpa import read_arpa
         lm = read_arpa(args.lm_path)
     if args.fst_path:
-        from wenet_tpu.lm.fst import TextFst, read_symbol_table
-        tlg = TextFst.read(args.fst_path)
+        from wenet_tpu.lm.fst import read_symbol_table
+        # pass the path: the native lattice decoder (runtime/
+        # native_wfst.py) parses TLG.txt itself; the python fallback
+        # reads it into a TextFst
+        tlg = args.fst_path
         if args.dict_path:
             words = read_symbol_table(args.dict_path)
     pp = PostProcessor(PostProcessOptions(lowercase=not args.no_lowercase))

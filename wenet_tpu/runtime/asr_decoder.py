@@ -88,10 +88,16 @@ class AsrDecoder:
         # shared cross-session dynamic batcher (runtime/batch_runner.py)
         self.batch_runner = batch_runner
         if tlg_fst is not None:
-            from wenet_tpu.runtime.wfst_beam_search import (
-                CtcWfstBeamSearch)
-            self.searcher = CtcWfstBeamSearch(
-                tlg_fst, word_table=word_table,
+            # C++ lattice decoder when available (native_wfst),
+            # python token-passing searcher otherwise; tlg_fst may be
+            # a TLG.txt path or a lm.fst.TextFst object.
+            from wenet_tpu.runtime.native_wfst import make_wfst_searcher
+            if isinstance(tlg_fst, str):
+                fst_obj, fst_path = None, tlg_fst
+            else:
+                fst_obj, fst_path = tlg_fst, None
+            self.searcher = make_wfst_searcher(
+                fst_obj, fst_path=fst_path, word_table=word_table,
                 beam_size=self.opts.beam_size,
                 blank_id=self.opts.blank_id)
         elif lm is not None:
