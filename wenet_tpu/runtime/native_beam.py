@@ -36,6 +36,10 @@ def _load():
     lib.ctc_beam_search.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_float),
                                     ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, 'ctc_beam_search_topk'):
+        lib.ctc_beam_search_topk.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int]
     lib.ctc_beam_num_hyps.restype = ctypes.c_int
     lib.ctc_beam_num_hyps.argtypes = [ctypes.c_void_p]
     lib.ctc_beam_hyp_len.restype = ctypes.c_int
@@ -81,6 +85,20 @@ class NativeCtcPrefixBeamSearch:
             self._h, logp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             T, V)
 
+    def search_topk(self, vals: np.ndarray, ids: np.ndarray):
+        """Advance over pre-selected per-frame candidates
+        (vals/ids: (T, K) from a device-side jax.lax.top_k).
+        Exactly equivalent to search() — the reference beam only
+        considers the per-frame top-k (ref search.py:146)."""
+        vals = np.ascontiguousarray(vals, np.float32)
+        ids = np.ascontiguousarray(ids, np.int32)
+        T, K = vals.shape
+        if T == 0:
+            return
+        self._lib.ctc_beam_search_topk(
+            self._h, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), T, K)
+
     def finalize_search(self):
         pass
 
@@ -110,6 +128,30 @@ class NativeCtcPrefixBeamSearch:
     @property
     def likelihood(self) -> List[float]:
         return self._collect()[2]
+
+
+def batch_search_topk(vals: np.ndarray, ids: np.ndarray,
+                      lens: np.ndarray, beam_size: int,
+                      blank_id: int = 0, num_threads: int = 8):
+    """Run the C++ beam over a batch of utterances in parallel.
+
+    vals/ids: (B, T, K) per-frame top-k from the device; lens: (B,)
+    valid frame counts.  ctypes releases the GIL during the C call, so
+    a thread pool gives real parallelism.  Returns per-utterance
+    (hyps, times, scores) triples (beam-sorted, like _collect)."""
+    from concurrent.futures import ThreadPoolExecutor
+    B = vals.shape[0]
+
+    def one(b):
+        s = NativeCtcPrefixBeamSearch(beam_size, blank_id)
+        n = int(lens[b])
+        s.search_topk(vals[b, :n], ids[b, :n])
+        return s._collect()
+
+    if B == 1:
+        return [one(0)]
+    with ThreadPoolExecutor(min(num_threads, B)) as ex:
+        return list(ex.map(one, range(B)))
 
 
 def make_searcher(beam_size: int = 10, blank_id: int = 0,
