@@ -295,3 +295,40 @@ def test_tlg_nbest_distinct_word_sequences(tlg_dir):
     assert ('ab', 'b') in hyp_words
     lik = dec.likelihood
     assert all(lik[i] >= lik[i + 1] for i in range(len(lik) - 1))
+
+
+def test_compose_combined_eps_move():
+    """Regression: Mohri filter's combined eps2:eps1 move — an A
+    output-eps arc adjacent to a B input-eps arc (e.g. LM backoff right
+    after blank self-loops) must survive composition, exactly once."""
+    from wenet_tpu.lm.build_graph import _add_arc, compose
+    from wenet_tpu.lm.fst import TextFst
+
+    a = TextFst()
+    a.start = 0
+    _add_arc(a, 0, 1, 5, 0)      # x : eps
+    a.finals[1] = 0.0
+    b = TextFst()
+    b.start = 0
+    _add_arc(b, 0, 1, 0, 7)      # eps : y
+    b.finals[1] = 0.0
+    c = compose(a, b)
+    assert any(arc.ilabel == 5 and arc.olabel == 7
+               for arcs in c.arcs.values() for arc in arcs)
+
+    # and no path duplication (log-semiring correctness): two A eps
+    # arcs + one B eps arc -> exactly one composed path
+    a2 = TextFst()
+    a2.start = 0
+    _add_arc(a2, 0, 1, 5, 0)
+    _add_arc(a2, 1, 2, 6, 0)
+    a2.finals[2] = 0.0
+    c2 = compose(a2, b)
+
+    def count_paths(f, s, seen=0):
+        n = 1 if s in f.finals else 0
+        for arc in f.state_arcs(s):
+            n += count_paths(f, arc.nextstate)
+        return n
+
+    assert count_paths(c2, c2.start) == 1

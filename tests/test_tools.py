@@ -317,3 +317,32 @@ def test_analyze_dataset(data_dir, tmp_path):
     utt2dur = dict(line.split()
                    for line in (out / 'utt2dur').read_text().splitlines())
     assert abs(float(utt2dur['utt0']) - 0.5) < 1e-3
+
+
+def test_data_dir_segments_keys(tmp_path):
+    """Regression: in a segments-based dir, wav.scp is keyed by
+    RECORDING id, not utt id — fix/validate/subset must not intersect
+    it against the utt tables (which would empty the dir)."""
+    d = tmp_path / 'segdir'
+    d.mkdir()
+    (d / 'wav.scp').write_text('rec1 /x/rec1.wav\nrec2 /x/rec2.wav\n')
+    (d / 'segments').write_text(
+        'rec1-0001 rec1 0.0 1.0\nrec1-0002 rec1 1.0 2.0\n'
+        'rec2-0001 rec2 0.0 1.5\n')
+    (d / 'text').write_text(
+        'rec1-0001 ab\nrec1-0002 cd\nrec2-0001 ef\n')
+    (d / 'utt2spk').write_text(
+        'rec1-0001 spkA\nrec1-0002 spkA\nrec2-0001 spkB\n')
+    run_tool([f'{TOOLS}/data_dir.py', 'validate', str(d)])
+    run_tool([f'{TOOLS}/data_dir.py', 'fix', str(d)])
+    # wav.scp must survive intact — not be emptied by key intersection
+    assert len((d / 'wav.scp').read_text().splitlines()) == 2
+    assert len((d / 'text').read_text().splitlines()) == 3
+
+    sub = tmp_path / 'segsub'
+    run_tool([f'{TOOLS}/data_dir.py', 'subset', str(d), str(sub),
+              '--n', '2', '--first'])
+    # first 2 utts are both rec1 -> wav.scp keeps only rec1
+    assert (sub / 'text').read_text().count('\n') == 2
+    assert (sub / 'wav.scp').read_text().splitlines() == \
+        ['rec1 /x/rec1.wav']

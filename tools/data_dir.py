@@ -44,6 +44,17 @@ def _tables(d, names=UTT_TABLES):
     return [n for n in names if os.path.exists(os.path.join(d, n))]
 
 
+def _utt_tables(d):
+    """Tables keyed by utterance id.  In a segments-based dir (kaldi
+    convention) wav.scp is keyed by RECORDING id — segment lines are
+    `utt-id recording-id start end` — so it must not participate in
+    utt-key intersection/validation."""
+    tabs = _tables(d)
+    if 'segments' in tabs and 'wav.scp' in tabs:
+        tabs.remove('wav.scp')
+    return tabs
+
+
 def _utt2spk_to_spk2utt(rows):
     spk = {}
     for utt, s in rows:
@@ -64,6 +75,7 @@ def cmd_validate(args):
     tabs = _tables(d)
     if 'wav.scp' not in tabs and 'feats.scp' not in tabs:
         errs.append('no wav.scp or feats.scp')
+    utt_tabs = set(_utt_tables(d))
     keysets = {}
     for name in tabs:
         rows = _read_table(os.path.join(d, name))
@@ -72,13 +84,26 @@ def cmd_validate(args):
             errs.append(f'{name} is not sorted')
         if len(keys) != len(set(keys)):
             errs.append(f'{name} has duplicate keys')
-        keysets[name] = set(keys)
+        if name in utt_tabs:
+            keysets[name] = set(keys)
     if len(keysets) > 1:
-        base = keysets.get('wav.scp') or next(iter(keysets.values()))
+        base_name = ('wav.scp' if 'wav.scp' in keysets
+                     else sorted(keysets)[0])
+        base = keysets[base_name]
         for name, ks in keysets.items():
             if ks != base:
-                errs.append(f'{name} keys differ from wav.scp '
+                errs.append(f'{name} keys differ from {base_name} '
                             f'({len(ks ^ base)} mismatched)')
+    # segments must reference existing recordings
+    if 'segments' in tabs and 'wav.scp' in tabs:
+        recs = {k for k, _ in
+                _read_table(os.path.join(d, 'wav.scp'))}
+        for utt, rest in _read_table(os.path.join(d, 'segments')):
+            rec = rest.split()[0] if rest.split() else ''
+            if rec not in recs:
+                errs.append(f'segments: {utt} references unknown '
+                            f'recording {rec}')
+                break
     u2s = os.path.join(d, 'utt2spk')
     s2u = os.path.join(d, 'spk2utt')
     if os.path.exists(u2s) and os.path.exists(s2u):
@@ -96,8 +121,9 @@ def cmd_validate(args):
 
 def cmd_fix(args):
     d = args.dir
-    tabs = _tables(d)
-    tables = {n: dict(_read_table(os.path.join(d, n))) for n in tabs}
+    utt_tabs = _utt_tables(d)
+    tables = {n: dict(_read_table(os.path.join(d, n)))
+              for n in utt_tabs}
     if not tables:
         return
     common = None
@@ -110,6 +136,14 @@ def cmd_fix(args):
     if 'utt2spk' in tables:
         _write_table(os.path.join(d, 'spk2utt'), _utt2spk_to_spk2utt(
             [(k, tables['utt2spk'][k]) for k in sorted(common)]))
+    # segments dir: restrict wav.scp to recordings still referenced
+    if 'segments' in tables and os.path.exists(
+            os.path.join(d, 'wav.scp')):
+        recs = {tables['segments'][k].split()[0] for k in common
+                if tables['segments'][k].split()}
+        wav = _read_table(os.path.join(d, 'wav.scp'))
+        _write_table(os.path.join(d, 'wav.scp'),
+                     [(k, v) for k, v in wav if k in recs])
     print(f'fixed {d}: {len(common)} utts')
 
 
@@ -138,8 +172,9 @@ def cmd_combine(args):
 
 
 def cmd_subset(args):
+    utt_tabs = _utt_tables(args.src)
     tabs = _tables(args.src)
-    base = _read_table(os.path.join(args.src, tabs[0]))
+    base = _read_table(os.path.join(args.src, utt_tabs[0]))
     keys = [k for k, _ in base]
     if args.utt_list:
         want = {k for k, _ in _read_table(args.utt_list)}
@@ -153,10 +188,18 @@ def cmd_subset(args):
         keep = sorted(rng.sample(keys, min(args.n, len(keys))))
     keep_set = set(keep)
     os.makedirs(args.dst, exist_ok=True)
+    seg_dir = 'segments' in tabs and 'wav.scp' in tabs
+    rec_keep = None
+    if seg_dir:
+        segs = _read_table(os.path.join(args.src, 'segments'))
+        rec_keep = {v.split()[0] for k, v in segs
+                    if k in keep_set and v.split()}
     for name in tabs:
         rows = _read_table(os.path.join(args.src, name))
+        want = rec_keep if (seg_dir and name == 'wav.scp') \
+            else keep_set
         _write_table(os.path.join(args.dst, name),
-                     [(k, v) for k, v in rows if k in keep_set])
+                     [(k, v) for k, v in rows if k in want])
     u2s = os.path.join(args.dst, 'utt2spk')
     if os.path.exists(u2s):
         _write_table(os.path.join(args.dst, 'spk2utt'),

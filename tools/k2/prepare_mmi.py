@@ -33,7 +33,10 @@ def main(units_path: str, text_path: str, out_dir: str):
     with open(text_path, encoding='utf-8') as f:
         for line in f:
             parts = line.split()
-            text = ''.join(parts[1:]) if len(parts) > 1 else parts[0]
+            if len(parts) < 2:
+                continue  # utt-id with empty transcript: skip, don't
+                # tokenize the id itself into the denominator LM
+            text = ''.join(parts[1:])
             seq = [unit_id[ch] for ch in text if ch in unit_id]
             if seq:
                 seqs.append(seq)

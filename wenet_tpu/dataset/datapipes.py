@@ -299,6 +299,9 @@ def tar_source(shard_list: Iterable[dict]) -> DataPipe:
             finally:
                 stream.close()
                 if proc is not None:
-                    proc.communicate()
+                    # stream IS proc.stdout and was just closed —
+                    # communicate() would raise 'read of closed file';
+                    # just reap the child
+                    proc.wait()
 
     return _Gen(gen)

@@ -185,13 +185,31 @@ def compose(fa: TextFst, fb: TextFst) -> TextFst:
                     _add_arc(out, src, get_state(nkey), aa.ilabel,
                              bb.olabel, aa.weight + bb.weight)
                     queue.append(nkey)
-            elif f != 2:
-                # a moves alone on output-eps (filter forbids after a
-                # b-eps move until a match resets it)
-                nkey = (aa.nextstate, qb, 1)
-                _add_arc(out, src, get_state(nkey), aa.ilabel, 0,
-                         aa.weight)
-                queue.append(nkey)
+            else:
+                if f == 0:
+                    # combined eps move (Mohri's filter eps2:eps1 in
+                    # state 0): an a output-eps arc and a b input-eps
+                    # arc advance TOGETHER.  Without it, any path that
+                    # needs adjacent a-eps + b-eps moves (e.g. an LM
+                    # backoff right after blank/repeat self-loops in
+                    # compose(TL, G)) is unreachable, because a-alone
+                    # locks filter 1 where b-eps is forbidden and vice
+                    # versa.  Allowed only from filter 0 -> 0, so each
+                    # eps interleaving still has exactly one route (no
+                    # path duplication — critical for the log-semiring
+                    # FSA forward in the LF-MMI denominator).
+                    for bb in b_by_il.get(0, ()):
+                        nkey = (aa.nextstate, bb.nextstate, 0)
+                        _add_arc(out, src, get_state(nkey), aa.ilabel,
+                                 bb.olabel, aa.weight + bb.weight)
+                        queue.append(nkey)
+                if f != 2:
+                    # a moves alone on output-eps (filter forbids after
+                    # a b-eps move until a match resets it)
+                    nkey = (aa.nextstate, qb, 1)
+                    _add_arc(out, src, get_state(nkey), aa.ilabel, 0,
+                             aa.weight)
+                    queue.append(nkey)
         if f != 1:
             for bb in b_by_il.get(0, ()):
                 nkey = (qa, bb.nextstate, 2)

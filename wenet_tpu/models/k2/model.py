@@ -45,6 +45,10 @@ def _load_den_fsa(lfmmi_dir: str) -> DenseFsa:
     return fst_to_dense_arcs(TextFst.read(path))
 
 
+# jitted encoder+ctc program per model instance (HLG decode path)
+_ENC_CTC_CACHE: Dict[int, Any] = {}
+
+
 @functools.lru_cache(maxsize=4)
 def _load_hlg(path: str):
     from wenet_tpu.lm.fst import TextFst
@@ -144,12 +148,19 @@ def _hlg_search(model, variables, speech, speech_lengths, hlg: str,
     from wenet_tpu.runtime.wfst_beam_search import CtcWfstBeamSearch
     fst = _load_hlg(hlg)
     word_table = _load_word_table(word)
-    encoder_out, encoder_mask = model.apply(
-        variables, jnp.asarray(speech), jnp.asarray(speech_lengths),
-        method=model.forward_encoder)
-    enc_lens = np.asarray(jnp.sum(encoder_mask[:, 0, :], axis=-1))
-    ctc_probs = np.asarray(model.apply(variables, encoder_out,
-                                       method=model.ctc_activation))
+    key = id(model)
+    if key not in _ENC_CTC_CACHE:
+        def _enc_ctc(variables, speech, speech_lengths):
+            eo, em = model.apply(variables, speech, speech_lengths,
+                                 method=model.forward_encoder)
+            logp = model.apply(variables, eo,
+                               method=model.ctc_activation)
+            return eo, em, logp
+        _ENC_CTC_CACHE[key] = jax.jit(_enc_ctc)
+    encoder_out, encoder_mask, logp = _ENC_CTC_CACHE[key](
+        variables, jnp.asarray(speech), jnp.asarray(speech_lengths))
+    enc_lens_d = jnp.sum(encoder_mask[:, 0, :], axis=-1)
+    ctc_probs, enc_lens = jax.device_get((logp, enc_lens_d))
     per_utt = []
     for b in range(ctc_probs.shape[0]):
         dec = CtcWfstBeamSearch(fst, word_table=word_table,

@@ -229,8 +229,10 @@ class AsrDecoder:
         self.offset += real_out
         self.valid_cache = min(self.valid_cache + real_out,
                                cfg.required_cache_size)
-        ys_np = np.asarray(ys[0, :real_out])
-        logp_np = np.asarray(logp[0, :real_out])
+        # one batched fetch: per-array np.asarray costs a tunnel RTT
+        # each on remote-TPU setups
+        ys_np, logp_np = jax.device_get(
+            (ys[0, :real_out], logp[0, :real_out]))
         self.encoder_outs.append(ys_np)
         self.searcher.search(logp_np)
         decoded_sth = len(self.searcher.hypotheses[0]) > 0 \

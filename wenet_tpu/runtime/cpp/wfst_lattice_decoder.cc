@@ -519,10 +519,8 @@ class LatticeDecoder {
 };
 
 struct Handle {
-  Fst fst;
   Options opts;
   LatticeDecoder* dec = nullptr;
-  Hyp partial;            // scratch for BestPartial queries
   std::vector<Hyp> partial_vec;
 };
 
@@ -535,7 +533,8 @@ void* wfst_create(const char* fst_path, int blank_id,
                   float blank_scale, float beam, int max_active,
                   int nbest) {
   Handle* h = new Handle();
-  if (!ParseTextFst(fst_path, &h->fst)) {
+  Fst fst;
+  if (!ParseTextFst(fst_path, &fst)) {
     delete h;
     return nullptr;
   }
@@ -546,7 +545,8 @@ void* wfst_create(const char* fst_path, int blank_id,
   h->opts.beam = beam;
   h->opts.max_active = max_active;
   h->opts.nbest = nbest;
-  h->dec = new LatticeDecoder(h->fst, h->opts);
+  // move: a production TLG is large — keep exactly one copy resident
+  h->dec = new LatticeDecoder(std::move(fst), h->opts);
   return h;
 }
 

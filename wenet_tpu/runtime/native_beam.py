@@ -29,6 +29,17 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    if not hasattr(lib, 'ctc_beam_search_topk'):
+        # stale .so from before the sparse entry existed: rebuild once
+        try:
+            subprocess.run(['make', '-C', _LIB_DIR, '-B',
+                            'libctc_beam.so'],
+                           check=True, capture_output=True)
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception:  # noqa: BLE001
+            pass
+        if not hasattr(lib, 'ctc_beam_search_topk'):
+            return None
     lib.ctc_beam_create.restype = ctypes.c_void_p
     lib.ctc_beam_create.argtypes = [ctypes.c_int, ctypes.c_int]
     lib.ctc_beam_destroy.argtypes = [ctypes.c_void_p]

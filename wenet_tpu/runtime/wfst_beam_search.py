@@ -69,7 +69,7 @@ class CtcWfstBeamSearch:
         # compact-T graphs that have no blank arcs at all).
         self._has_blank_arcs = any(
             arc.ilabel == blank_id + 1
-            for arc in fst.state_arcs(fst.start))
+            for arcs in fst.arcs.values() for arc in arcs)
         self.reset()
 
     def reset(self):
