@@ -26,6 +26,18 @@ def run_tool(args, **kw):
                           **kw)
 
 
+def data_dir_main(argv):
+    """In-process data_dir invocation (each subprocess pays ~2s of
+    interpreter+jax-preimport in this environment; one subprocess
+    smoke test still covers the CLI surface)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'tools_data_dir', os.path.join(TOOLS, 'data_dir.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(argv)
+
+
 @pytest.fixture(scope='module')
 def data_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp('tooldata')
@@ -57,32 +69,30 @@ def data_dir(tmp_path_factory):
 def test_data_dir_fix_validate_subset(data_dir, tmp_path):
     # break sortedness + add an orphan key, then fix
     d = tmp_path / 'dd'
-    run_tool([f'{TOOLS}/data_dir.py', 'copy', str(data_dir), str(d)])
+    data_dir_main(['copy', str(data_dir), str(d)])
     with open(d / 'text', 'a') as f:
         f.write('zzz-orphan some text\n')
+    # orphan key must fail validation (CLI smoke: real subprocess)
     r = subprocess.run([sys.executable, f'{TOOLS}/data_dir.py',
                         'validate', str(d)], capture_output=True,
                        text=True, cwd=REPO)
-    assert r.returncode != 0  # orphan key must fail validation
-    run_tool([f'{TOOLS}/data_dir.py', 'fix', str(d)])
-    run_tool([f'{TOOLS}/data_dir.py', 'validate', str(d)])
+    assert r.returncode != 0
+    data_dir_main(['fix', str(d)])
+    data_dir_main(['validate', str(d)])
     with open(d / 'spk2utt') as f:
         spk2utt = dict(line.split(maxsplit=1) for line in f)
     assert set(spk2utt) == {'spk0', 'spk1'}
 
     sub = tmp_path / 'sub'
-    run_tool([f'{TOOLS}/data_dir.py', 'subset', str(d), str(sub),
-              '--n', '2', '--first'])
+    data_dir_main(['subset', str(d), str(sub), '--n', '2', '--first'])
     with open(sub / 'wav.scp') as f:
         assert len(f.readlines()) == 2
 
     sub2 = tmp_path / 'sub2'
-    run_tool([f'{TOOLS}/data_dir.py', 'subset', str(d), str(sub2),
-              '--n', '2', '--last'])
+    data_dir_main(['subset', str(d), str(sub2), '--n', '2', '--last'])
     comb = tmp_path / 'comb'
-    run_tool([f'{TOOLS}/data_dir.py', 'combine', str(comb), str(sub),
-              str(sub2)])
-    run_tool([f'{TOOLS}/data_dir.py', 'validate', str(comb)])
+    data_dir_main(['combine', str(comb), str(sub), str(sub2)])
+    data_dir_main(['validate', str(comb)])
     with open(comb / 'wav.scp') as f:
         assert len(f.readlines()) == 4
 
@@ -333,15 +343,14 @@ def test_data_dir_segments_keys(tmp_path):
         'rec1-0001 ab\nrec1-0002 cd\nrec2-0001 ef\n')
     (d / 'utt2spk').write_text(
         'rec1-0001 spkA\nrec1-0002 spkA\nrec2-0001 spkB\n')
-    run_tool([f'{TOOLS}/data_dir.py', 'validate', str(d)])
-    run_tool([f'{TOOLS}/data_dir.py', 'fix', str(d)])
+    data_dir_main(['validate', str(d)])
+    data_dir_main(['fix', str(d)])
     # wav.scp must survive intact — not be emptied by key intersection
     assert len((d / 'wav.scp').read_text().splitlines()) == 2
     assert len((d / 'text').read_text().splitlines()) == 3
 
     sub = tmp_path / 'segsub'
-    run_tool([f'{TOOLS}/data_dir.py', 'subset', str(d), str(sub),
-              '--n', '2', '--first'])
+    data_dir_main(['subset', str(d), str(sub), '--n', '2', '--first'])
     # first 2 utts are both rec1 -> wav.scp keeps only rec1
     assert (sub / 'text').read_text().count('\n') == 2
     assert (sub / 'wav.scp').read_text().splitlines() == \
