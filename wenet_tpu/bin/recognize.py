@@ -102,6 +102,9 @@ def main():
     configs['input_dim'] = test_conf.get(
         'fbank_conf', test_conf.get('mfcc_conf', test_conf.get(
             'log_mel_spectrogram_conf', {}))).get('num_mel_bins', 80)
+    if 'lfr_conf' in configs:
+        # paraformer convention: input_dim is the post-LFR dim
+        configs['input_dim'] *= configs['lfr_conf'].get('lfr_m', 7)
     configs['output_dim'] = tokenizer.vocab_size()
     configs, blank_id = get_blank_id(configs, tokenizer.symbol_table)
 

@@ -72,6 +72,11 @@ def main():
             'mfcc_conf', configs['dataset_conf'].get(
                 'log_mel_spectrogram_conf', {}))).get(
                     'num_mel_bins', 80)
+    if 'lfr_conf' in configs:
+        # paraformer convention: input_dim is the post-LFR dim
+        # (mel * lfr_m), matching check_modify_and_save_config in the
+        # reference (ref train_utils.py:289-296)
+        configs['input_dim'] *= configs['lfr_conf'].get('lfr_m', 7)
     configs['output_dim'] = tokenizer.vocab_size()
 
     # multi-host: initialize the jax distributed runtime when launched
@@ -108,6 +113,13 @@ def main():
                                         checkpoint=args.checkpoint)
     tx, schedule = init_optimizer_and_scheduler(configs)
     state = create_train_state(variables, tx)
+    resume_step = int(configs.get('init_infos', {}).get('step', 0))
+    if resume_step > 0:
+        # restore the schedule position on resume — the checkpoint
+        # sidecar stores int(state.step)
+        from wenet_tpu.utils.train_utils import restore_optimizer_step
+        state = restore_optimizer_step(
+            state, resume_step, int(configs.get('accum_grad', 1)))
 
     mesh = make_mesh(parse_mesh(args.mesh))
     # mixed precision: configs['dtype'] in {'fp32','bf16'}

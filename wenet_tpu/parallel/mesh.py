@@ -49,29 +49,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict onto the mesh, sharded over 'data'."""
+    """Place a host batch dict onto the mesh, sharded over 'data'.
+
+    Single-process: a plain device_put with the NamedSharding.
+    Multi-host (mesh spans processes): each host holds its LOCAL batch
+    slice (the data pipeline shards by host, datapipes.shard), so the
+    global array must be assembled with
+    make_array_from_process_local_data — device_put against a global
+    sharding would mis-treat the local rows as the whole global batch."""
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, s), batch)
 
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(s, x)
 
-def param_sharding_rules(params, mesh: Mesh,
-                         shard_model_axis: bool = False):
-    """Sharding tree for params.
-
-    Default: full replication (ASR models are small: <=130M params).
-    With shard_model_axis=True, large 2D kernels are split over 'model'
-    along their output dim (megatron column style) when divisible —
-    a free win via GSPMD for the larger whisper-scale models."""
-    if not shard_model_axis or MODEL_AXIS not in mesh.axis_names:
-        return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
-    msize = mesh.shape[MODEL_AXIS]
-
-    def rule(x):
-        if x.ndim == 2 and x.shape[1] % msize == 0 and x.shape[1] >= 1024:
-            return NamedSharding(mesh, P(None, MODEL_AXIS))
-        return replicated(mesh)
-
-    return jax.tree_util.tree_map(rule, params)
+    return jax.tree_util.tree_map(put, batch)
 
 
 def state_shardings(state, mesh: Mesh, shard_model_axis: bool = False,

@@ -185,14 +185,16 @@ def save_checkpoint(variables, path: str, infos: Optional[dict] = None):
 
 def filter_modules(flat_keys: List[str],
                    modules: List[str]) -> List[str]:
-    """ref: checkpoint.py:74-93."""
-    new_mods = [m if m.startswith('encoder') else 'encoder.' + m
-                for m in modules]
-    incl = [k for k in flat_keys
-            if any(k.startswith(m) for m in new_mods)]
-    if not incl:
-        logger.warning('module filter %s matched nothing', modules)
-    return incl
+    """Keys matching any of the given module prefixes, AS GIVEN —
+    the reference matches prefixes verbatim so 'decoder.'/'ctc.'
+    partial init works too (ref: checkpoint.py:74-93)."""
+    bad = [m for m in modules
+           if not any(k.startswith(m) for k in flat_keys)]
+    if bad:
+        logger.warning(
+            "module(s) %s don't match any checkpoint keys", bad)
+    return [k for k in flat_keys
+            if any(k.startswith(m) for m in modules)]
 
 
 def load_trained_modules(model, variables, enc_init: str,

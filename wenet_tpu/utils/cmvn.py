@@ -20,21 +20,35 @@ def _load_json_cmvn(json_cmvn_file):
 
 
 def _load_kaldi_cmvn(kaldi_cmvn_file):
-    """Kaldi text-format stats matrix. ref: cmvn.py:46-85."""
-    means, variance = None, None
+    """Kaldi text-format stats matrix: `[ m1..mD count  v1..vD 0 ]`
+    — rows separated only by whitespace, parsed positionally by
+    feat_dim exactly like the reference (ref: cmvn.py:46-85)."""
+    with open(kaldi_cmvn_file, 'rb') as fid:
+        if fid.read(2) == b'\0B':
+            # binary kaldi cmvn: go through our kaldi_io instead of
+            # bailing out like the reference does
+            from wenet_tpu.dataset.kaldi_io import read_mat
+            stats = np.asarray(read_mat(kaldi_cmvn_file), np.float64)
+            row1 = stats[0]
+            row2 = stats[1]
+            count = row1[-1]
+            means = row1[:-1] / count
+            var = row2[:-1] / count - means * means
+            return means, 1.0 / np.sqrt(np.maximum(var, 1.0e-20))
     with open(kaldi_cmvn_file) as fid:
-        all_lines = fid.read().split()
-    # find the bracketed numbers: format "[ m1 ... mD c ; v1 ... vD x ]"
-    start = all_lines.index('[')
-    toks = all_lines[start + 1:]
-    semi = toks.index(';')
-    row1 = [float(t) for t in toks[:semi]]
-    row2 = [float(t) for t in toks[semi + 1:toks.index(']')]]
-    count = row1[-1]
-    means = np.asarray(row1[:-1], dtype=np.float64) / count
-    var = np.asarray(row2[:-1], dtype=np.float64) / count - means * means
-    std = np.sqrt(np.maximum(var, 1.0e-20))
-    return means, 1.0 / std
+        arr = fid.read().split()
+    assert arr[0] == '[' and arr[-1] == ']', 'not a kaldi text matrix'
+    assert arr[-2] == '0'
+    feat_dim = (len(arr) - 2 - 2) // 2
+    means = np.asarray([float(x) for x in arr[1:feat_dim + 1]],
+                       np.float64)
+    count = float(arr[feat_dim + 1])
+    var = np.asarray([float(x)
+                      for x in arr[feat_dim + 2:2 * feat_dim + 2]],
+                     np.float64)
+    means = means / count
+    var = var / count - means * means
+    return means, 1.0 / np.sqrt(np.maximum(var, 1.0e-20))
 
 
 def load_cmvn(cmvn_file, is_json: bool):

@@ -105,7 +105,10 @@ class Executor:
                 loss_dict = self.cv(cv_step_fn, state, cv_data_loader,
                                     configs)
                 logging.info('CV @step %d: %s', self.step, loss_dict)
-                if model_dir is not None:
+                # rank guard: only host 0 writes (same as the epoch-end
+                # save in bin/train.py; concurrent orbax saves to one
+                # path race destructively)
+                if model_dir is not None and jax.process_index() == 0:
                     info = dict(tag=f'step_{self.step}', step=self.step,
                                 epoch=epoch,
                                 cv_loss=loss_dict.get('loss'))

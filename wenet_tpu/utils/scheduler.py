@@ -30,9 +30,16 @@ def noam_annealing(lr: float, d_model: int, warmup_steps: int,
 
     def schedule(step):
         s = jnp.maximum(step + 1, 1).astype(jnp.float32)
-        mult = d_model**-0.5 * jnp.minimum(s**-0.5,
-                                           s * warmup_steps**-1.5)
-        return jnp.maximum(lr * mult, min_lr)
+        if warmup_steps and warmup_steps > 0:
+            mult = d_model**-0.5 * jnp.minimum(
+                s**-0.5, s * warmup_steps**-1.5)
+        else:
+            mult = d_model**-0.5 * s**-0.5
+        out = lr * mult
+        # ref NoamAnnealing clamps to min_lr only AFTER warmup
+        # (scheduler.py:619-627)
+        return jnp.where(s > warmup_steps,
+                         jnp.maximum(out, min_lr), out)
 
     return schedule
 
@@ -86,16 +93,6 @@ def cosine_annealing(lr: float, max_steps: int, warmup_steps: int = 0,
 
 def constant_lr(lr: float) -> Callable:
     return lambda step: jnp.asarray(lr, jnp.float32)
-
-
-SCHEDULERS = {
-    'warmuplr': warmup_lr,
-    'NoamHoldAnnealing': noam_hold_annealing,
-    'noamholdannealing': noam_hold_annealing,
-    'noam_annealing': noam_annealing,
-    'cosine_annealing': cosine_annealing,
-    'constantlr': constant_lr,
-}
 
 
 def build_schedule(scheduler: str, scheduler_conf: dict,

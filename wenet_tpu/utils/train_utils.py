@@ -49,9 +49,12 @@ def init_optimizer_and_scheduler(configs
     betas = optim_conf.get('betas', (0.9, 0.999))
     eps = optim_conf.get('eps', 1e-8)
     if optim == 'adam':
+        # torch.optim.Adam folds weight decay into the GRADIENT before
+        # the moment updates (L2, not decoupled AdamW) — so the decay
+        # term must precede scale_by_adam
         tx = optax.chain(
-            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
             optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
             optax.scale_by_learning_rate(schedule),
         )
     elif optim == 'adamw':
@@ -68,6 +71,35 @@ def init_optimizer_and_scheduler(configs
     if accum and accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, schedule
+
+
+def restore_optimizer_step(state: TrainState, step: int,
+                           accum_grad: int = 1) -> TrainState:
+    """Resume analog of the reference's scheduler.set_step (ref
+    train_utils.py:563-565): fast-forward every optax schedule counter
+    inside opt_state so the APPLIED learning rate resumes mid-schedule
+    instead of re-running warmup, and restore state.step (metrics/
+    logging).  `step` is in state.step units (micro-steps); inner
+    schedule counters advance once per optimizer update, i.e. per
+    `accum_grad` micro-steps."""
+    macro = step // max(1, accum_grad)
+
+    def fix(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            return node._replace(count=jnp.asarray(macro, jnp.int32))
+        if isinstance(node, optax.MultiStepsState):
+            return node._replace(
+                mini_step=jnp.asarray(0, jnp.int32),
+                gradient_step=jnp.asarray(macro, jnp.int32),
+                inner_opt_state=fix(node.inner_opt_state))
+        if isinstance(node, tuple) and hasattr(node, '_fields'):
+            return type(node)(*[fix(x) for x in node])
+        if isinstance(node, (tuple, list)):
+            return type(node)(fix(x) for x in node)
+        return node
+
+    return state.replace(step=jnp.asarray(step, jnp.int32),
+                         opt_state=fix(state.opt_state))
 
 
 def create_train_state(variables, tx) -> TrainState:
