@@ -161,3 +161,66 @@ def test_wav_distortion():
     assert wd.distort(x, 'none') is x
     s = wd.distort_wav_sample({'wav': x}, 'quad_distortion', rate=1.0)
     assert s['wav'].shape == x.shape
+
+
+def test_tar_member_corruption_skips_one_sample(tmp_path):
+    """One bad member invalidates only its sample, not the shard."""
+    import tarfile as tf
+    from wenet_tpu.dataset.datapipes import tar_source
+    d = tmp_path
+    wav = (0.1 * np.random.RandomState(0).randn(8000)).astype(
+        np.float32)
+    from wenet_tpu.dataset.audio import write_wav
+    write_wav(str(d / 'a.wav'), wav, 16000)
+    bad = d / 'bad.txt'
+    bad.write_bytes(b'\xff\xfe invalid \xff utf8 \x80')
+    good_txt = d / 'good.txt'
+    good_txt.write_text('hello')
+    tar_path = d / 's.tar'
+    with tf.open(tar_path, 'w') as tar:
+        tar.add(str(d / 'a.wav'), arcname='utt_bad.wav')
+        tar.add(str(bad), arcname='utt_bad.txt')      # undecodable
+        tar.add(str(d / 'a.wav'), arcname='utt_good.wav')
+        tar.add(str(good_txt), arcname='utt_good.txt')
+    out = list(tar_source([str(tar_path)]))
+    keys = [x['key'] for x in out]
+    assert keys == ['utt_good']  # bad sample dropped, shard continues
+
+
+def test_prefetch_survives_abandoned_iterator():
+    """Abandoning a prefetch iterator mid-stream must release the
+    worker thread (epoch-break / wenet_join path)."""
+    import threading
+    from wenet_tpu.dataset.datapipes import DataPipe, _Gen
+
+    def src():
+        yield from range(10000)
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(_Gen(src).prefetch(2))
+        for _, x in zip(range(3), it):
+            pass
+        it.close()
+    # give workers a beat to observe the stop flag
+    import time
+    time.sleep(1.2)
+    assert threading.active_count() <= before + 1
+
+
+def test_list_shuffle_host_consistent_before_shard(data_dir):
+    """The pre-shard list shuffle must be deterministic across hosts
+    so host shards partition (not resample) the data."""
+    conf = {'batch_conf': {'batch_type': 'static', 'batch_size': 1},
+            'fbank_conf': {'num_mel_bins': 23},
+            'filter_conf': {'max_length': 102400,
+                            'token_max_length': 100},
+            'shuffle': False, 'sort': False, 'spec_aug': False}
+    tok = CharTokenizer(SYMS)
+    keys = []
+    for shard_id in range(2):
+        ds = Dataset('raw', str(data_dir / 'data.list'), tok, conf,
+                     partition=True, num_shards=2, shard_id=shard_id)
+        keys.append({b['keys'][0] for b in ds})
+    assert keys[0] | keys[1] == {f'utt{i}' for i in range(6)}
+    assert not (keys[0] & keys[1])

@@ -38,8 +38,12 @@ def read_wav(path_or_bytes, start_frame: int = 0,
                 if num_frames >= 0 and fmt is not None:
                     (_, channels, _, _, block_align,
                      _) = struct.unpack('<HHIIHH', fmt[:16])
-                    f.seek(start_frame * block_align, 1)
-                    data = f.read(num_frames * block_align)
+                    skip = min(start_frame * block_align, size)
+                    f.seek(skip, 1)
+                    # clamp to the data chunk — reading past it would
+                    # swallow trailing LIST/INFO chunk bytes as PCM
+                    want = min(num_frames * block_align, size - skip)
+                    data = f.read(max(want, 0))
                     break
                 data = f.read(size)
             else:

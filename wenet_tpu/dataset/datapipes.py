@@ -149,25 +149,49 @@ class DataPipe:
             q: queue.Queue = queue.Queue(maxsize=max(buffer_size, 1))
             DONE = object()
             err: List = []
+            stop = threading.Event()
 
             def worker():
                 try:
                     for x in outer:
-                        q.put(x)
+                        # bounded put so an abandoned consumer (e.g.
+                        # the wenet_join epoch break) can't pin this
+                        # thread — and the whole upstream shuffle/sort
+                        # buffers — forever
+                        while not stop.is_set():
+                            try:
+                                q.put(x, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
                 except Exception as e:  # noqa: BLE001
                     err.append(e)
                 finally:
-                    q.put(DONE)
+                    try:
+                        q.put_nowait(DONE)
+                    except queue.Full:
+                        pass
 
             t = threading.Thread(target=worker, daemon=True)
             t.start()
-            while True:
-                x = q.get()
-                if x is DONE:
-                    break
-                yield x
-            if err:
-                raise err[0]
+            try:
+                while True:
+                    x = q.get()
+                    if x is DONE:
+                        break
+                    yield x
+                if err:
+                    raise err[0]
+            finally:
+                # consumer done or abandoned: release the worker
+                stop.set()
+                while True:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
 
         return _Gen(gen)
 
@@ -238,10 +262,13 @@ def _open_shard_stream(url: str):
         return open(pr.path if pr.scheme == 'file' else url, 'rb'), None
     if pr.scheme in ('http', 'https'):
         import urllib.request
-        return urllib.request.urlopen(url), None
+        # timeout so one hung server can't stall the input pipeline
+        # (and every host at the wenet_join barrier) forever
+        return urllib.request.urlopen(url, timeout=120), None
     import subprocess
-    proc = subprocess.Popen(['wget', '-q', '-O', '-', url],
-                            stdout=subprocess.PIPE)
+    proc = subprocess.Popen(['wget', '-q', '-T', '120', '-O', '-', url],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL)
     return proc.stdout, proc
 
 
@@ -280,15 +307,24 @@ def tar_source(shard_list: Iterable[dict]) -> DataPipe:
                                 yield example
                             example = {}
                             valid = True
-                        fobj = tar.extractfile(member)
-                        data = fobj.read() if fobj else b''
-                        if postfix == 'txt':
-                            example['txt'] = data.decode('utf8').strip()
-                        elif postfix in ('wav', 'flac', 'mp3'):
-                            example['wav_bytes'] = data
-                            example['wav_format'] = postfix
-                        else:
-                            example[postfix] = data
+                        try:
+                            fobj = tar.extractfile(member)
+                            data = fobj.read() if fobj else b''
+                            if postfix == 'txt':
+                                example['txt'] = \
+                                    data.decode('utf8').strip()
+                            elif postfix in ('wav', 'flac', 'mp3'):
+                                example['wav_bytes'] = data
+                                example['wav_format'] = postfix
+                            else:
+                                example[postfix] = data
+                        except Exception as ex:  # noqa: BLE001
+                            # one corrupt member invalidates only this
+                            # sample, not the rest of the shard
+                            # (ref datapipes.py:404-415)
+                            valid = False
+                            logger.warning('bad tar member %s in %s: %s',
+                                           name, url, ex)
                         prev_prefix = prefix
                     if prev_prefix is not None:
                         example['key'] = prev_prefix

@@ -38,7 +38,15 @@ def Dataset(data_type: str,
              [data_list_file])
     dataset = text_line_source(files)
     if list_shuffle:
-        dataset = dataset.shuffle(min(list_shuffle_size, 20000))
+        # deterministic seed: this shuffle runs BEFORE the host shard
+        # split, so every host must produce the same permutation or
+        # shards overlap/miss data (the reference seeds every rank's
+        # DataLoader generator identically, train_utils.py:367-368);
+        # per-epoch ordering variation comes from the post-shard
+        # sample shuffle below. No silent size cap — the reference
+        # default is a full-list shuffle (ref dataset.py:48-52).
+        dataset = dataset.shuffle(list_shuffle_size,
+                                  seed=conf.get('seed', 777))
     dataset = dataset.repeat(cycle)
     dataset = dataset.shard(num_shards, shard_id, partition)
     if data_type == 'raw':
@@ -56,7 +64,9 @@ def Dataset(data_type: str,
         table = read_symbol_table(speaker_conf['speaker_table_path'])
 
         def parse_speaker(sample):
-            sample['speaker'] = table.get(sample.get('speaker'), -1)
+            # unknown speakers -> 0 (ref processor.py:98); -1 would
+            # gather the LAST embedding row
+            sample['speaker'] = table.get(sample.get('speaker'), 0)
             return sample
 
         dataset = dataset.map(parse_speaker)

@@ -14,7 +14,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from wenet_tpu.dataset.audio import read_wav, resample as _resample
+from wenet_tpu.dataset.audio import (read_wav, wav_info,
+                                     resample as _resample)
 from wenet_tpu.dataset.audio import speed_perturb as _speed
 from wenet_tpu.ops.fbank import (compute_fbank_np,
                                  compute_log_mel_spectrogram_np,
@@ -39,9 +40,7 @@ def decode_wav(sample: dict) -> dict:
     else:
         path = sample['wav']
         if 'start' in sample:
-            rate0, _, _ = __import__(
-                'wenet_tpu.dataset.audio',
-                fromlist=['wav_info']).wav_info(path)
+            rate0, _, _ = wav_info(path)
             start = int(sample['start'] * rate0)
             end = int(sample['end'] * rate0)
             wav, rate = read_wav(path, start, end - start)
@@ -96,7 +95,6 @@ def raw_wav_feats(sample: dict) -> dict:
     """On-device-frontend mode: carry the raw waveform as the 'feat'
     (S, 1) so sorting/batching/padding work unchanged; the train step
     computes fbank+SpecAug inside jit (ops/fbank.py, ops/spec_augment)."""
-    import numpy as np
     sample['feat'] = np.asarray(sample['wav'][0],
                                 np.float32)[:, None]
     return sample
@@ -123,7 +121,8 @@ def compute_mfcc(sample: dict, num_mel_bins: int = 23,
     sample['feat'] = compute_mfcc_np(
         wav, num_mel_bins=num_mel_bins, num_ceps=num_ceps,
         frame_length_ms=frame_length, frame_shift_ms=frame_shift,
-        dither=dither, sample_rate=sample['sample_rate'])
+        dither=dither, sample_rate=sample['sample_rate'],
+        low_freq=low_freq, high_freq=high_freq)
     return sample
 
 
@@ -157,11 +156,26 @@ def tokenize(sample: dict, tokenizer) -> dict:
 
 
 def detect_language(sample: dict, limited_langs: List[str]) -> dict:
-    """ref: processor.py:103-115 (langid optional -> default zh/en by
-    CJK ratio when langid unavailable)."""
+    """ref: processor.py:103-115 (langid.set_languages(limited_langs)
+    + classify).  langid isn't in the image, so: use it when
+    installed, otherwise a CJK-ratio heuristic restricted to the
+    configured limited_langs (never emit a lang outside the limit —
+    a wrong <|lang|> token corrupts whisper-style targets)."""
     txt = sample.get('txt', '')
+    try:
+        import langid
+        langid.set_languages(limited_langs)
+        sample['lang'] = langid.classify(txt)[0]
+        return sample
+    except ImportError:
+        pass
     cjk = sum('一' <= ch <= '鿿' for ch in txt)
-    sample['lang'] = 'zh' if cjk > len(txt) // 4 else 'en'
+    guess = 'zh' if cjk > len(txt) // 4 else 'en'
+    if guess not in limited_langs:
+        # heuristic can't separate the configured languages: take the
+        # first (the reference would defer to langid here)
+        guess = limited_langs[0] if limited_langs else 'en'
+    sample['lang'] = guess
     return sample
 
 

@@ -95,8 +95,9 @@ def compute_fbank(waveform: jax.Array,
                   preemphasis: float = 0.97,
                   remove_dc_offset: bool = True,
                   rng: Optional[jax.Array] = None,
-                  log_floor: float = 1.1920928955078125e-07
-                  ) -> jax.Array:
+                  log_floor: float = 1.1920928955078125e-07,
+                  low_freq: float = 20.0,
+                  high_freq: float = 0.0) -> jax.Array:
     """Kaldi fbank of int16-scaled waveform (..., S) -> (..., T, mel).
 
     Caller is responsible for the * (1<<15) scaling the reference
@@ -122,7 +123,8 @@ def compute_fbank(waveform: jax.Array,
     spec = jnp.fft.rfft(frames, axis=-1)
     power = jnp.square(jnp.real(spec)) + jnp.square(jnp.imag(spec))
     power = power[..., :padded // 2]  # kaldi drops the nyquist bin
-    mel = jnp.asarray(kaldi_mel_banks(num_mel_bins, padded, sample_rate))
+    mel = jnp.asarray(kaldi_mel_banks(num_mel_bins, padded, sample_rate,
+                                      low_freq, high_freq))
     energies = jnp.einsum('...tf,fm->...tm', power, mel,
                           preferred_element_type=jnp.float32)
     return jnp.log(jnp.maximum(energies, log_floor))
@@ -157,6 +159,7 @@ def compute_mfcc(waveform: jax.Array,
 
     ref: processor.py:286-318 (torchaudio.compliance.kaldi.mfcc)."""
     logmel = compute_fbank(waveform, num_mel_bins=num_mel_bins,
+                           low_freq=low_freq, high_freq=high_freq,
                            **fbank_kwargs)
     dct = jnp.asarray(dct_matrix(num_ceps, num_mel_bins))
     feats = jnp.einsum('...tm,mc->...tc', logmel, dct,
@@ -259,8 +262,9 @@ def compute_fbank_np(waveform: np.ndarray,
                      preemphasis: float = 0.97,
                      remove_dc_offset: bool = True,
                      rng: Optional[np.random.RandomState] = None,
-                     log_floor: float = 1.1920928955078125e-07
-                     ) -> np.ndarray:
+                     log_floor: float = 1.1920928955078125e-07,
+                     low_freq: float = 20.0,
+                     high_freq: float = 0.0) -> np.ndarray:
     """numpy kaldi fbank; same pipeline as compute_fbank."""
     waveform = np.asarray(waveform, np.float32)
     frame_length = int(sample_rate * frame_length_ms / 1000)
@@ -286,15 +290,18 @@ def compute_fbank_np(waveform: np.ndarray,
     frames = frames * povey_window(frame_length)
     spec = np.fft.rfft(frames, n=padded, axis=-1)
     power = (spec.real**2 + spec.imag**2)[..., :padded // 2]
-    mel = kaldi_mel_banks(num_mel_bins, padded, sample_rate)
+    mel = kaldi_mel_banks(num_mel_bins, padded, sample_rate,
+                          low_freq, high_freq)
     energies = power.astype(np.float32) @ mel
     return np.log(np.maximum(energies, log_floor)).astype(np.float32)
 
 
 def compute_mfcc_np(waveform: np.ndarray, num_mel_bins: int = 23,
                     num_ceps: int = 13, cepstral_lifter: float = 22.0,
+                    low_freq: float = 20.0, high_freq: float = 0.0,
                     **kwargs) -> np.ndarray:
     logmel = compute_fbank_np(waveform, num_mel_bins=num_mel_bins,
+                              low_freq=low_freq, high_freq=high_freq,
                               **kwargs)
     feats = logmel @ dct_matrix(num_ceps, num_mel_bins)
     if cepstral_lifter > 0:
