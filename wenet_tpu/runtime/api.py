@@ -86,16 +86,23 @@ class WenetRecognizer:
     def decode(self, pcm: bytes, last: int = 1) -> str:
         """Feed int16 pcm; returns the serialized result json.
 
-        ref: wenet_api.h:42-54 (wenet_decode)."""
+        ref: wenet_api.cc Decode: a mid-stream endpoint with
+        continuous decoding enabled finalizes the segment (rescoring +
+        reset), matching the C API's kEndpoint branch."""
+        from wenet_tpu.runtime.asr_decoder import DecodeState
         if self._decoder is None:
             self.reset()
         data = np.frombuffer(pcm, '<i2')
         self._decoder.accept_waveform(data)
         if last:
             self._decoder.set_input_finished()
-        self._decoder.decode()
+        state = self._decoder.decode()
+        is_final = bool(last)
         if last:
             self._decoder.rescoring()
+        elif state == DecodeState.END_POINT and self.continuous_decoding:
+            self._decoder.rescoring()
+            is_final = True
         out = []
         for r in self._decoder.result[:self.nbest]:
             obj = {'sentence': r.sentence}
@@ -104,9 +111,13 @@ class WenetRecognizer:
                     {'word': w.word, 'start': w.start, 'end': w.end}
                     for w in r.word_pieces]
             out.append(obj)
-        return json.dumps({'type': 'final_result' if last else
-                           'partial_result', 'nbest': out},
-                          ensure_ascii=False)
+        result = json.dumps({'type': 'final_result' if is_final else
+                             'partial_result', 'nbest': out},
+                            ensure_ascii=False)
+        if is_final and not last:
+            # continuous decoding: start the next segment
+            self._decoder.reset_continuous_decoding()
+        return result
 
 
 # C-API style free functions (ref wenet_api.h)

@@ -144,6 +144,10 @@ class CtcPrefixBeamSearch:
             return
         for i, (prefix, ps) in enumerate(self.cur_hyps):
             score, state = self.context_graph.finalize(ps.context_state)
+            # assignment (not +=) matches the reference exactly
+            # (search.py:229-234): the final reported score carries
+            # only the un-completed-match backoff; accumulated bonuses
+            # influence pruning during the search, not the final score
             ps.context_score = score
             ps.context_state = state
 

@@ -159,13 +159,14 @@ class ExportedAsrDecoder(AsrDecoder):
         max_len = meta['max_hyp_len']
         sos = eos = meta['sos']
         n = min(len(hyps), beam)
-        hyps = hyps[:n]
+        # truncate ONCE so padding and scoring see the same tokens —
+        # scoring the untruncated hyp would index past max_hyp_len
+        hyps = [list(h)[:max_len - 1] for h in hyps[:n]]
         scores = self.searcher.likelihood[:n]
         hyps_pad = np.full((beam, max_len), eos, np.int32)
         hyps_pad[:, 0] = sos
         hyps_lens = np.ones((beam,), np.int32)
         for i, h in enumerate(hyps):
-            h = h[:max_len - 1]
             hyps_pad[i, 1:1 + len(h)] = h
             hyps_lens[i] = len(h) + 1
         encoder_out = jnp.asarray(

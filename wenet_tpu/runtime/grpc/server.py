@@ -39,6 +39,7 @@ class AsrServicer:
         decoder = None
         nbest = 1
         continuous = False
+        finalized = False
         for req in request_iterator:
             if req.WhichOneof('RequestPayload') == 'decode_config':
                 nbest = max(req.decode_config.nbest_config, 1)
@@ -61,13 +62,17 @@ class AsrServicer:
                 if continuous:
                     decoder.reset_continuous_decoding()
                 else:
+                    # non-continuous endpoint already finalized this
+                    # utterance — don't rescore/emit a second final in
+                    # the tail block below
+                    finalized = True
                     break
             elif decoder.result:
                 yield wenet_pb2.Response(
                     status=wenet_pb2.Response.ok,
                     type=wenet_pb2.Response.partial_result,
                     nbest=_result_to_nbest(decoder.result, nbest))
-        if decoder is not None:
+        if decoder is not None and not finalized:
             decoder.set_input_finished()
             decoder.decode()
             decoder.rescoring()

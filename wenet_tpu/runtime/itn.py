@@ -16,7 +16,10 @@ _SMALL_UNITS = {'十': 10, '百': 100, '千': 1000}
 _BIG_UNITS = {'万': 10**4, '亿': 10**8}
 _NUM_CHARS = set(_DIGITS) | set(_SMALL_UNITS) | set(_BIG_UNITS) | {'点'}
 _RUN = re.compile('([' + ''.join(_NUM_CHARS) + ']+)')
-_PERCENT = re.compile('百分之([' + ''.join(_NUM_CHARS) + ']+)')
+# negative lookbehind: '五百分之一' is the fraction 1/500, not 五 + 100%-
+# of-一 — don't match when a numeral precedes 百
+_PERCENT = re.compile('(?<![' + ''.join(_NUM_CHARS) + '])'
+                      '百分之([' + ''.join(_NUM_CHARS) + ']+)')
 
 
 def _parse_int(s: str):
@@ -76,6 +79,10 @@ def normalize(text: str) -> str:
         s = m.group(1)
         if len(s) == 1 and s not in _SMALL_UNITS:
             return s  # lone digit char: leave prose alone
+        # fraction construction 'X分之Y' (X/Y): leave the spoken form
+        # untouched — converting just the denominator corrupts it
+        if text[m.end():m.end() + 2] == '分之':
+            return s
         v = _parse_run(s)
         return v if v is not None else s
 

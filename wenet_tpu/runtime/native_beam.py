@@ -78,6 +78,7 @@ class NativeCtcPrefixBeamSearch:
         self._h = lib.ctc_beam_create(beam_size, blank_id)
         self.beam_size = beam_size
         self.blank_id = blank_id
+        self._cache = None
 
     def __del__(self):
         if getattr(self, '_h', None):
@@ -86,12 +87,14 @@ class NativeCtcPrefixBeamSearch:
 
     def reset(self):
         self._lib.ctc_beam_reset(self._h)
+        self._cache = None
 
     def search(self, ctc_log_probs: np.ndarray):
         logp = np.ascontiguousarray(ctc_log_probs, np.float32)
         T, V = logp.shape
         if T == 0:
             return
+        self._cache = None
         self._lib.ctc_beam_search(
             self._h, logp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             T, V)
@@ -106,6 +109,7 @@ class NativeCtcPrefixBeamSearch:
         T, K = vals.shape
         if T == 0:
             return
+        self._cache = None
         self._lib.ctc_beam_search_topk(
             self._h, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), T, K)
@@ -114,6 +118,11 @@ class NativeCtcPrefixBeamSearch:
         pass
 
     def _collect(self):
+        # cached between searches: _update_result reads hypotheses/
+        # times/likelihood back-to-back every chunk — re-walking the C
+        # beam via FFI each time is redundant
+        if self._cache is not None:
+            return self._cache
         n = self._lib.ctc_beam_num_hyps(self._h)
         hyps, times, scores = [], [], []
         for i in range(n):
@@ -126,7 +135,8 @@ class NativeCtcPrefixBeamSearch:
             hyps.append(list(toks[:L]))
             times.append(list(tms[:L]))
             scores.append(float(score.value))
-        return hyps, times, scores
+        self._cache = (hyps, times, scores)
+        return self._cache
 
     @property
     def hypotheses(self) -> List[List[int]]:

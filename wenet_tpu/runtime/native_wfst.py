@@ -174,6 +174,7 @@ def make_wfst_searcher(tlg_fst, fst_path: Optional[str] = None,
     tlg_fst: a lm.fst.TextFst (used by the fallback, and serialized
     for the native decoder when no fst_path is given)."""
     if _load() is not None:
+        tmp_path = None
         try:
             if fst_path is None and tlg_fst is not None:
                 from wenet_tpu.lm.build_graph import write_text
@@ -181,11 +182,20 @@ def make_wfst_searcher(tlg_fst, fst_path: Optional[str] = None,
                     mode='w', suffix='.tlg.txt', delete=False)
                 tmp.close()
                 write_text(tlg_fst, tmp.name)
-                fst_path = tmp.name
+                fst_path = tmp_path = tmp.name
             if fst_path is not None:
                 return NativeCtcWfstBeamSearch(fst_path, **kwargs)
         except Exception:  # noqa: BLE001 - fall back to python
             pass
+        finally:
+            if tmp_path is not None:
+                # the C++ side fully parses the file in wfst_create —
+                # the serialization (can be 100s of MB) must not pile
+                # up in /tmp
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
     from wenet_tpu.runtime.wfst_beam_search import CtcWfstBeamSearch
     if tlg_fst is None and fst_path is not None:
         from wenet_tpu.lm.fst import TextFst

@@ -114,7 +114,13 @@ class CtcWfstBeamSearch:
                 if arc.ilabel != 0:
                     continue
                 nw = tok.words + ((arc.olabel,) if arc.olabel else ())
-                nt = _Token(tok.cost + arc.weight, nw, tok.times,
+                # words emitted on eps-input arcs (label-pushed graphs)
+                # inherit the latest emitting frame so words and times
+                # stay in lockstep for _update_result's zip
+                ntimes = tok.times + (
+                    (tok.times[-1] if tok.times else self.abs_time,)
+                    if arc.olabel else ())
+                nt = _Token(tok.cost + arc.weight, nw, ntimes,
                             tok.ac, tok.gc + arc.weight)
                 if self._insert(self.tokens, arc.nextstate, nt):
                     queue.append((arc.nextstate, nt))
