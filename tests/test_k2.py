@@ -238,3 +238,29 @@ def test_hlg_onebest_and_rescore(hlg_setup):
     nbest_units = [[symbol_table[ch] for w in h for ch in words[w]]
                    for h in dec.hypotheses]
     assert res[0] in nbest_units
+
+
+def test_fsa_eps_chain_counts_paths_once():
+    """Regression: eps closure must use the frontier formulation —
+    relaxing accumulated mass counts a length-k eps path C(depth,k)
+    times and inflates every LF-MMI/HLG score."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wenet_tpu.lm.fst import Arc, TextFst
+    from wenet_tpu.ops.fsa import fst_to_dense_arcs, fsa_forward_score
+    fst = TextFst()
+    fst.start = 0
+
+    def add(s, d, il, w=0.0):
+        fst.arcs.setdefault(s, []).append(Arc(il, 0, w, d))
+
+    add(0, 1, 0)   # eps chain of depth 2
+    add(1, 2, 0)
+    add(0, 3, 1)   # one emitting arc from each chain state
+    add(1, 3, 1)
+    add(2, 3, 1)
+    fst.finals[3] = 0.0
+    dfsa = fst_to_dense_arcs(fst)
+    score = fsa_forward_score(jnp.zeros((1, 2)), jnp.asarray(1), dfsa)
+    # exactly 3 paths of weight 1 -> log 3 (the buggy closure gave log 4)
+    assert abs(float(score) - np.log(3)) < 1e-4

@@ -193,3 +193,37 @@ def test_whisper_loss_runs(models):
                       lang_ids=jnp.asarray([0, 1]),
                       task_ids=jnp.asarray([0, 0]))
     assert np.isfinite(float(out['loss']))
+
+
+def test_whisper_attention_rescoring_uses_prompt(models):
+    """Whisper-style rescoring must condition on the 4-token special
+    prompt, not a bare sos (ref search.py:403-419)."""
+    import numpy as np
+    from wenet_tpu.models.transformer.search import (DecodeResult,
+                                                     attention_rescoring)
+    _, model, variables = models
+    assert model.special_tokens is not None
+    rng = np.random.RandomState(0)
+    B, T = 2, 12
+    enc = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    enc_lens = jnp.asarray([T, T])
+    ctc_results = [
+        DecodeResult(tokens=[3, 5], nbest=[[3, 5], [3]],
+                     nbest_scores=[-1.0, -2.0],
+                     nbest_times=[[0, 1], [0]]),
+        DecodeResult(tokens=[7], nbest=[[7], [7, 8]],
+                     nbest_scores=[-0.5, -1.5],
+                     nbest_times=[[0], [0, 1]]),
+    ]
+    out = attention_rescoring(
+        model, variables, ctc_results, enc, enc_lens, ctc_weight=0.3,
+        reverse_weight=0.0,
+        infos={'tasks': ['transcribe'] * B, 'langs': ['en'] * B})
+    assert len(out) == B
+    for b, r in enumerate(out):
+        assert list(r.tokens) in [list(h)
+                                  for h in ctc_results[b].nbest]
+        assert np.isfinite(r.score)
+    # the P=4 program variant must have been compiled (prompt in use)
+    from wenet_tpu.models.transformer.search import _RESCORE_CACHE
+    assert any(k[-1] == 4 for k in _RESCORE_CACHE)

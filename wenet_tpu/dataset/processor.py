@@ -167,7 +167,7 @@ def detect_language(sample: dict, limited_langs: List[str]) -> dict:
         langid.set_languages(limited_langs)
         sample['lang'] = langid.classify(txt)[0]
         return sample
-    except ImportError:
+    except Exception:  # noqa: BLE001 - absent OR stubbed langid
         pass
     cjk = sum('一' <= ch <= '鿿' for ch in txt)
     guess = 'zh' if cjk > len(txt) // 4 else 'en'

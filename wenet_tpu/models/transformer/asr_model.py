@@ -80,6 +80,10 @@ class ASRModel(nn.Module):
 
         loss_att, acc_att = None, None
         if self.apply_non_blank_embedding:
+            # ref asr_model.py:120-122 asserts ctc_weight != 0 here —
+            # without CTC there are no ctc_probs to filter on
+            assert ctc_probs is not None, (
+                'apply_non_blank_embedding requires ctc_weight > 0')
             encoder_out, encoder_mask = self.filter_blank_embedding(
                 ctc_probs, encoder_out)
         if self.ctc_weight != 1.0:

@@ -144,7 +144,9 @@ class TransformerDecoder(nn.Module):
         if self.normalize_before:
             x = self.after_norm(x)
         x = self._output(x)
-        olens = jnp.sum(tgt_mask[:, 0, :], axis=-1)
+        # valid output lengths (row 0 of the causal mask is always
+        # [1,0,...] — summing it would give the constant 1)
+        olens = ys_in_lens
         return x, jnp.asarray(0.0), olens
 
     # -- scan-friendly incremental decoding ----------------------------

@@ -404,7 +404,10 @@ def _attention_beam_program(model, beam_size: int, length_penalty: float,
         B, maxlen, _ = encoder_out.shape
         running = B * N
         eos = model.eos
-        max_steps = maxlen + prefix_len
+        # ref bound (search.py:302): steps run i in [prefix_len,
+        # maxlen], i.e. at most maxlen+1-prefix_len generated tokens —
+        # NOT maxlen regardless of prefix
+        max_steps = maxlen + 1
 
         enc = jnp.repeat(encoder_out, N, axis=0)  # (B*N, T, D)
         enc_mask = jnp.repeat(encoder_mask, N, axis=0)  # (B*N, 1, T)
@@ -531,37 +534,44 @@ def _decode_prefix(model, B, N, infos):
 # ---------------------------------------------------------------------------
 # attention rescoring
 # ---------------------------------------------------------------------------
-def _rescore_program(model, ctc_weight: float, reverse_weight: float):
+def _rescore_program(model, ctc_weight: float, reverse_weight: float,
+                     prefix_len: int = 1):
     """Whole-batch rescoring as ONE jitted program (ref contract:
     asr_model.py:452-547 + search.py:374-458).  The reference loops the
     batch on the host with per-utterance shapes; here the (B, N) nbest
     grid is scored and fused in-graph: decoder forward, token log-prob
     gathers, left/right fusion and the ctc mix all happen on device, and
-    only (B, N) scalars + (B, N, L) confidences come back."""
+    only (B, N) scalars + (B, N, L) confidences come back.
+
+    prefix_len: 1 for [sos]-conditioned models, 4 for whisper-style
+    special-token prompts (ref search.py:403-419) — gathers shift by
+    prefix_len - 1 accordingly."""
+    P = prefix_len
 
     def fn(variables, encoder_outs, encoder_lens, hyps_pad, hyps_lens,
            ctc_scores):
         B, N, L1 = hyps_pad.shape
-        L = L1 - 1
+        L = L1 - P
         T = encoder_outs.shape[1]
         eos = model.eos
         flat_hyps = hyps_pad.reshape(B * N, L1)
-        flat_lens = hyps_lens.reshape(B * N)  # token counts (no sos)
+        flat_lens = hyps_lens.reshape(B * N)  # token counts (no prefix)
         enc = jnp.repeat(encoder_outs, N, axis=0)
         enc_mask = (~make_pad_mask(
             jnp.repeat(encoder_lens, N, axis=0), T))[:, None, :]
         decoder_out, r_decoder_out = model.apply(
-            variables, flat_hyps, flat_lens + 1, enc, reverse_weight,
+            variables, flat_hyps, flat_lens + P, enc, reverse_weight,
             enc_mask, method=model.forward_attention_decoder)
 
-        tok = flat_hyps[:, 1:]  # (B*N, L)
+        tok = flat_hyps[:, P:]  # (B*N, L)
         pos = jnp.arange(L)[None, :]
         tok_mask = pos < flat_lens[:, None]
         logp_tok = jnp.take_along_axis(
-            decoder_out[:, :L, :], tok[..., None], axis=-1)[..., 0]
+            decoder_out[:, P - 1:P - 1 + L, :], tok[..., None],
+            axis=-1)[..., 0]
         logp_tok = jnp.where(tok_mask, logp_tok, 0.0)
         eos_logp = jnp.take_along_axis(
-            decoder_out, flat_lens[:, None, None] *
+            decoder_out, (flat_lens + P - 1)[:, None, None] *
             jnp.ones((1, 1, 1), flat_lens.dtype), axis=1)[:, 0, eos]
         score = logp_tok.sum(-1) + eos_logp
         tc = jnp.exp(logp_tok)
@@ -573,11 +583,11 @@ def _rescore_program(model, ctc_weight: float, reverse_weight: float):
             rev_idx = jnp.clip(flat_lens[:, None] - 1 - pos, 0, L - 1)
             rtok = jnp.take_along_axis(tok, rev_idx, axis=1)
             r_logp_tok = jnp.take_along_axis(
-                r_decoder_out[:, :L, :], rtok[..., None],
+                r_decoder_out[:, P - 1:P - 1 + L, :], rtok[..., None],
                 axis=-1)[..., 0]
             r_logp_tok = jnp.where(tok_mask, r_logp_tok, 0.0)
             r_eos = jnp.take_along_axis(
-                r_decoder_out, flat_lens[:, None, None] *
+                r_decoder_out, (flat_lens + P - 1)[:, None, None] *
                 jnp.ones((1, 1, 1), flat_lens.dtype), axis=1)[:, 0, eos]
             r_score = r_logp_tok.sum(-1) + r_eos
             r_tc = jnp.take_along_axis(r_logp_tok, rev_idx, axis=1)
@@ -608,27 +618,31 @@ def attention_rescoring(
     """ref: search.py:374-458, as one padded (B, nbest) jitted program
     per (nbest, length-bucket) shape instead of a per-utterance host
     loop (VERDICT.md round-1 weakness #2)."""
-    sos, eos = model.sos, model.eos
+    eos = model.eos
     B = encoder_outs.shape[0]
     N = max(len(r.nbest) for r in ctc_prefix_results)
     max_len = max((len(h) for r in ctc_prefix_results for h in r.nbest),
                   default=0)
+    # conditioning prefix: [sos], or the whisper special-token prompt
+    # (per-utterance lang/task from infos — ref search.py:403-419)
+    prefix = np.asarray(_decode_prefix(model, B, 1, infos))  # (B, P)
+    P = prefix.shape[1]
     # bucket the token dim to a multiple of 8 to bound recompiles
     L = max(8, -(-max_len // 8) * 8)
-    hyps_pad = np.full((B, N, L + 1), eos, np.int32)
-    hyps_pad[:, :, 0] = sos
+    hyps_pad = np.full((B, N, L + P), eos, np.int32)
+    hyps_pad[:, :, :P] = prefix[:, None, :]
     hyps_lens = np.zeros((B, N), np.int32)
     ctc_scores = np.full((B, N), NEG_INF, np.float32)  # dead slots lose
     for b, r in enumerate(ctc_prefix_results):
         for i, h in enumerate(r.nbest):
-            hyps_pad[b, i, 1:1 + len(h)] = h
+            hyps_pad[b, i, P:P + len(h)] = h
             hyps_lens[b, i] = len(h)
             ctc_scores[b, i] = r.nbest_scores[i]
 
-    key = (id(model), float(ctc_weight), float(reverse_weight))
+    key = (id(model), float(ctc_weight), float(reverse_weight), P)
     if key not in _RESCORE_CACHE:
         _RESCORE_CACHE[key] = _rescore_program(model, ctc_weight,
-                                               reverse_weight)
+                                               reverse_weight, P)
     # single batched upload / download — per-array transfers cost one
     # tunnel RTT each on remote-TPU setups
     hp_d, hl_d, cs_d = jax.device_put((hyps_pad, hyps_lens, ctc_scores))

@@ -560,7 +560,9 @@ def _relpos_fwd_kernel(*refs, scale: float, block_k: int, kv_len: int,
 
 
 def _relpos_reference(q1, q2, k, p, v, mask, scale):
-    """Pure-jnp semantics (used for the training backward)."""
+    """Pure-jnp oracle for the fused rel-pos kernel — TEST-ONLY
+    (test_flash_attention grad/forward parity); the production
+    backward is the blockwise _relpos_bwd_* kernels above."""
     s = (jnp.einsum('bhqd,bhkd->bhqk', q1, k,
                     preferred_element_type=jnp.float32) +
          jnp.einsum('bhqd,bhkd->bhqk', q2, p,

@@ -133,9 +133,14 @@ def fsa_forward_score(log_probs: jax.Array, length: jax.Array,
     p_w = jnp.asarray(fsa.eps_weight)
 
     def eps_close(alpha):
+        # frontier formulation: delta^k carries the mass that used
+        # EXACTLY k eps hops, so each eps path is counted once.
+        # (Relaxing the accumulated alpha instead would add a length-k
+        # path C(depth, k) times and inflate every score.)
+        delta = alpha
         for _ in range(fsa.eps_depth):
-            relax = _seg_logsumexp(alpha[p_src] + p_w, p_dst, S)
-            alpha = jnp.logaddexp(alpha, relax)
+            delta = _seg_logsumexp(delta[p_src] + p_w, p_dst, S)
+            alpha = jnp.logaddexp(alpha, delta)
         return alpha
 
     alpha0 = jnp.full((S,), NEG_INF).at[fsa.start].set(0.0)

@@ -45,18 +45,27 @@ def spec_aug(rng: jax.Array, feats: jax.Array,
 
 def spec_sub(rng: jax.Array, feats: jax.Array, max_t: int = 20,
              num_t_sub: int = 3) -> jax.Array:
-    """U2++ SpecSub: substitute spans with earlier frames
-    (ref processor.py:475-502). feats: (B, T, F)."""
+    """U2++ SpecSub: substitute spans with earlier frames — exact
+    reference semantics (processor.py:475-502): start ∈ [0, T-1],
+    width ∈ [1, max_t], backward shift pos ∈ [0, start] (the source
+    window never precedes frame 0), and sources always read the
+    ORIGINAL features, not previously-substituted ones.
+    feats: (B, T, F)."""
     B, T, F = feats.shape
     idx = jnp.arange(T)
+    x0 = feats  # substitution sources come from the original
     for _ in range(num_t_sub):
         rng, r1, r2, r3 = jax.random.split(rng, 4)
-        start = jax.random.randint(r1, (B,), 0, max(T - max_t, 1))
+        start = jax.random.randint(r1, (B,), 0, T)
         width = jax.random.randint(r2, (B,), 1, max_t + 1)
-        shift = jax.random.randint(r3, (B,), 1, max_t + 1)
-        src_idx = jnp.maximum(idx[None, :] - shift[:, None], 0)
+        # pos uniform over [0, start]: per-row maxval via the uniform
+        # trick (randint has no per-element bounds)
+        u = jax.random.uniform(r3, (B,))
+        pos = jnp.floor(u * (start + 1).astype(jnp.float32)
+                        ).astype(jnp.int32)
+        src_idx = jnp.maximum(idx[None, :] - pos[:, None], 0)
         substituted = jnp.take_along_axis(
-            feats, src_idx[:, :, None].repeat(F, -1), axis=1)
+            x0, src_idx[:, :, None].repeat(F, -1), axis=1)
         m = (idx[None, :] >= start[:, None]) & \
             (idx[None, :] < (start + width)[:, None])
         feats = jnp.where(m[:, :, None], substituted, feats)
@@ -66,8 +75,11 @@ def spec_sub(rng: jax.Array, feats: jax.Array, max_t: int = 20,
 def spec_trim(rng: jax.Array, feats: jax.Array,
               feats_lengths: jax.Array,
               max_t: int = 20):
-    """Trim a random tail span by shortening lengths
-    (ref processor.py:504-523)."""
+    """Trim a random tail span by shortening lengths — applied only
+    when the trim is shorter than half the utterance, like the
+    reference (processor.py:519-521), so short utterances are never
+    gutted."""
     B = feats.shape[0]
-    trim = jax.random.randint(rng, (B,), 0, max_t + 1)
+    trim = jax.random.randint(rng, (B,), 1, max_t + 1)
+    trim = jnp.where(trim * 2 < feats_lengths, trim, 0)
     return feats, jnp.maximum(feats_lengths - trim, 1)
