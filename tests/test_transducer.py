@@ -237,61 +237,51 @@ def test_transducer_beam_matches_exhaustive():
 
     variables = model.init(jax.random.PRNGKey(0), method=touch)
     tokens, lens, scores = model.apply(variables, enc_out,
-                                       jnp.asarray([T]), 4, 3, 6,
+                                       jnp.asarray([T]), 4, 0.0, 1.0, 6,
                                        method=model.beam_search)
     best = [int(t) for t in
             np.asarray(tokens)[0, 0][:int(np.asarray(lens)[0, 0])]]
+    best_score = float(np.asarray(scores)[0, 0])
 
-    # exhaustive: score every label sequence up to len 3 via the
-    # RNN-T forward algorithm on the same joint table
-    def seq_logp(y):
-        U = len(y)
-        pred_in = jnp.asarray([[0] + list(y)], jnp.int32)  # blank-led
-        pred_out = model.apply(variables, pred_in,
-                               method=lambda m, x: m.predictor(x))
+    # brute-force replica of the reference breadthwise prefix beam
+    # (search/prefix_beam_search.py:60-142): every frame each hyp
+    # consumes exactly one symbol; equal prefixes log-add merged;
+    # top-K kept. States are recomputed from the prefix (the predictor
+    # state is a pure function of the emitted tokens).
+    K = 4
+
+    def pred_out_for(prefix):
+        pred_in = jnp.asarray([[0] + list(prefix)], jnp.int32)
+        po = model.apply(variables, pred_in,
+                         method=lambda m, x: m.predictor(x))
+        return po[:, -1:, :]  # last step output
+
+    def joint_logp(t, prefix):
+        po = pred_out_for(prefix)
         logits = model.apply(
-            variables, enc_out, pred_out,
-            method=lambda m, e, p: m.joint(e, p))  # (1,T,U+1,V)
-        logp = jax.nn.log_softmax(logits, -1)
-        # forward algorithm over the (T, U+1) lattice
-        import math
-        alpha = np.full((T + 1, U + 1), -np.inf)
-        alpha[0][0] = 0.0
-        lp = np.asarray(logp[0])
-        for t in range(T + 1):
-            for u in range(U + 1):
-                if t > 0 and alpha[t - 1][u] > -np.inf:
-                    alpha[t][u] = np.logaddexp(
-                        alpha[t][u],
-                        alpha[t - 1][u] + lp[t - 1, u, 0])
-                if u > 0 and alpha[t][u - 1] > -np.inf:
-                    # emit y[u-1] consuming no frame... emission in
-                    # rnnt consumes label at same t
-                    pass
-        # proper forward: alpha[t][u] from (t-1,u) blank and (t,u-1)
-        # label
-        alpha = np.full((T + 1, U + 1), -np.inf)
-        alpha[0][0] = 0.0
-        for t in range(T + 1):
-            for u in range(U + 1):
-                if t > 0:
-                    alpha[t][u] = np.logaddexp(
-                        alpha[t][u],
-                        alpha[t - 1][u] + lp[t - 1, u, 0])
-                if u > 0 and t > 0:
-                    alpha[t][u] = np.logaddexp(
-                        alpha[t][u],
-                        alpha[t][u - 1] + lp[t - 1, u - 1, y[u - 1]])
-                elif u > 0 and t == 0:
-                    pass  # first label needs at least frame 1 context?
-        return alpha[T][U]
+            variables, enc_out[:, t:t + 1], po,
+            method=lambda m, e, p: m.joint(e, p))
+        return np.asarray(
+            jax.nn.log_softmax(logits[0, 0, 0, :], -1))
 
-    cands = []
-    for L in range(0, 4):
-        for y in itertools.product(range(1, V), repeat=L):
-            cands.append((seq_logp(list(y)), list(y)))
-    cands.sort(key=lambda x: -x[0])
-    assert best == cands[0][1], (best, cands[:3])
+    hyps = {(): 0.0}
+    for t in range(T):
+        pool = {}
+        for prefix, sc in hyps.items():
+            lp = joint_logp(t, prefix)
+            order = np.argsort(-lp)[:K]   # first prune: top-K symbols
+            for v in order:
+                npfx = prefix if v == 0 else prefix + (int(v),)
+                cand = sc + float(lp[v])
+                if npfx in pool:
+                    pool[npfx] = float(np.logaddexp(pool[npfx], cand))
+                else:
+                    pool[npfx] = cand
+        hyps = dict(sorted(pool.items(), key=lambda kv: -kv[1])[:K])
+    ref_best, ref_score = max(hyps.items(), key=lambda kv: kv[1])
+    assert best == list(ref_best), (best, sorted(
+        hyps.items(), key=lambda kv: -kv[1]))
+    assert abs(best_score - ref_score) < 1e-3
 
 
 def test_runner_rnnt_modes(transducer_model):

@@ -25,7 +25,7 @@ class BranchformerEncoderLayer(nn.Module):
     cgmlp_conv_kernel: int = 31
     use_linear_after_conv: bool = False
     gate_activation: str = 'identity'
-    causal: bool = True
+    causal: bool = False  # ref branchformer/encoder.py:57 default
     dropout_rate: float = 0.1
     merge_method: str = 'concat'
     cgmlp_weight: float = 0.5
@@ -68,9 +68,12 @@ class BranchformerEncoderLayer(nn.Module):
         self.pooling_proj2 = nn.Dense(1, name='pooling_proj2')
         self.weight_proj1 = nn.Dense(1, name='weight_proj1')
         self.weight_proj2 = nn.Dense(1, name='weight_proj2')
-        if self.use_two_branches:
-            in_dim = (2 * self.size if self.merge_method == 'concat'
-                      else self.size)
+        if self.use_two_branches or (
+                self.merge_method == 'fixed_ave' and
+                (self.use_attn or self.use_cgmlp)):
+            # fixed_ave keeps a real merge_proj even when one branch
+            # degenerates away (ref encoder_layer.py:90-106); other
+            # single-branch setups use Identity
             self.merge_proj = nn.Dense(self.size, name='merge_proj')
         self.dropout = nn.Dropout(self.dropout_rate)
 
@@ -113,17 +116,33 @@ class BranchformerEncoderLayer(nn.Module):
                                        self.weight_proj2, x2, mask_pad)
                 mw = jax.nn.softmax(
                     jnp.concatenate([w1, w2], axis=-1), axis=-1)
-                merged = self.merge_proj(
-                    mw[:, 0:1, None] * x1 + mw[:, 1:2, None] * x2)
+                mw1 = mw[:, 0:1, None]
+                mw2 = mw[:, 1:2, None]
+                if train and self.attn_branch_drop_rate > 0:
+                    # drop the attn branch with prob p during training
+                    # (ref encoder_layer.py:148-152)
+                    drop = jax.random.bernoulli(
+                        self.make_rng('dropout'),
+                        self.attn_branch_drop_rate)
+                    mw1 = jnp.where(drop, 0.0, mw1)
+                    mw2 = jnp.where(drop, 1.0, mw2)
+                merged = self.merge_proj(mw1 * x1 + mw2 * x2)
             else:  # fixed_ave
                 merged = self.merge_proj(
                     (1.0 - self.cgmlp_weight) * x1 +
                     self.cgmlp_weight * x2)
+        elif self.merge_method == 'fixed_ave':
+            # degenerate fixed_ave still projects (ref :106)
+            merged = self.merge_proj(x1 if self._use_attn else x2)
         elif self._use_attn:
             merged = x1
         else:
             merged = x2
-        x = x + self.dropout(merged, deterministic=det)
+        # stochastic depth: residual becomes x + f(x)/(1-p) at train
+        # time (ref encoder_layer.py:240-245)
+        coeff = (1.0 / (1.0 - self.stochastic_depth_rate)
+                 if train and self.stochastic_depth_rate > 0 else 1.0)
+        x = x + coeff * self.dropout(merged, deterministic=det)
         x = self.norm_final(x)
         return x, mask, new_att_cache, new_cnn_cache
 
@@ -142,7 +161,7 @@ class BranchformerEncoder(BaseEncoder):
     cgmlp_weight: float = 0.5
     attn_branch_drop_rate: float = 0.0
     stochastic_depth_rate: float = 0.0
-    causal: bool = True
+    causal: bool = False  # ref branchformer/encoder.py:57 default
 
     @property
     def cnn_lorder(self) -> int:

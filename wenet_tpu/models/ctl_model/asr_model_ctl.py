@@ -63,23 +63,35 @@ class CTLModel(ASRModel):
 
         ctl_loss = jnp.asarray(0.0)
         if self.ctl_weight > 0 and self.n_negatives > 0:
-            negs = self._sample_negatives(
-                jax.lax.stop_gradient(enc_full), r_neg)
-            ctl_loss = self._ctl_loss(enc_chunk,
-                                      jax.lax.stop_gradient(enc_full),
-                                      negs, mask_chunk)
+            # only INDEX SAMPLING is no-grad in the reference
+            # (torch.no_grad around randint, asr_model_ctl.py:212);
+            # targets/negatives keep their gradient path into the
+            # full-context encoder, and negatives are drawn within
+            # each utterance's VALID length
+            lens = jnp.sum(mask_chunk[:, 0, :], axis=-1)
+            negs = self._sample_negatives(enc_full, r_neg, lens)
+            ctl_loss = self._ctl_loss(enc_chunk, enc_full, negs,
+                                      mask_chunk)
         loss = loss_full + loss_chunk + self.ctl_weight * ctl_loss
         return {'loss': loss, 'loss_full': loss_full,
                 'loss_chunk': loss_chunk, 'loss_ctl': ctl_loss}
 
-    def _sample_negatives(self, y, rng):
-        """ref: asr_model_ctl.py:205-240."""
+    def _sample_negatives(self, y, rng, lengths=None):
+        """ref: asr_model_ctl.py:205-240 — negatives drawn uniformly
+        within each utterance's valid length (speech_lengths), never
+        from padding frames."""
         B, T, F = y.shape
         r = jax.random.uniform(rng, (B, T * self.n_negatives))
-        idx = (r * (T - 1)).astype(jnp.int32)
+        if lengths is None:
+            high = jnp.full((B, 1), T - 1, jnp.float32)
+        else:
+            high = jnp.maximum(lengths - 1, 1).astype(
+                jnp.float32)[:, None]
+        idx = (r * high).astype(jnp.int32)
         pos = jnp.repeat(jnp.arange(T), self.n_negatives)[None, :]
         idx = jnp.where(idx >= pos, idx + 1, idx)
         idx = jnp.clip(idx, 0, T - 1)
+        idx = jax.lax.stop_gradient(idx)
         flat = y.reshape(-1, F)
         idx = idx + (jnp.arange(B) * T)[:, None]
         negs = flat[idx.reshape(-1)].reshape(B, T, self.n_negatives, F)

@@ -28,7 +28,7 @@ class EBranchformerEncoderLayer(nn.Module):
     cgmlp_conv_kernel: int = 31
     use_linear_after_conv: bool = False
     gate_activation: str = 'identity'
-    causal: bool = True
+    causal: bool = False  # ref branchformer/encoder.py:57 default
     dropout_rate: float = 0.1
     merge_conv_kernel: int = 3
     use_ffn: bool = True
@@ -154,7 +154,7 @@ class EBranchformerEncoder(BaseEncoder):
     use_ffn: bool = True
     macaron_style: bool = True
     stochastic_depth_rate: float = 0.0
-    causal: bool = True
+    causal: bool = False  # ref branchformer/encoder.py:57 default
 
     @property
     def cnn_lorder(self) -> int:

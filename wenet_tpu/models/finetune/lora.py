@@ -109,8 +109,12 @@ def mark_only_lora_as_trainable(tx: optax.GradientTransformation,
     )
 
 
-def merge_lora(params):
-    """Fold B@A*scale into kernels (eval/export). ref: layers.py:147-163."""
+def merge_lora(params, alpha: Optional[float] = None):
+    """Fold B@A * (alpha/r) into kernels (eval/export) — the same
+    scaling LoRADense applies at runtime; merging without it halves
+    the update whenever alpha != r. ref: layers.py:147-163.
+
+    alpha: lora_alpha used at injection time; defaults to r (scale 1)."""
 
     def merge(tree):
         if not isinstance(tree, dict):
@@ -119,9 +123,9 @@ def merge_lora(params):
             A = tree['lora_A']  # (r, in)
             B = tree['lora_B']  # (out, r)
             r = A.shape[0]
-            # scaling alpha/r is baked assuming alpha == r unless stored
+            scaling = (alpha if alpha is not None else r) / r
             new = dict(tree)
-            new['kernel'] = tree['kernel'] + (B @ A).T
+            new['kernel'] = tree['kernel'] + scaling * (B @ A).T
             new['lora_A'] = jnp.zeros_like(A)
             new['lora_B'] = jnp.zeros_like(B)
             return new
@@ -160,7 +164,8 @@ def estimate_gradient(model, variables, batches, rng=None):
 
 
 def reinit_lora(params, grads=None, init_type: str = 'gradient',
-                stable_gamma: float = 16.0, rng=None):
+                stable_gamma: float = 16.0, rng=None,
+                alpha: Optional[float] = None):
     """Re-initialize lora_A/lora_B, LoRA-GA style.
 
     ref: finetune/lora/utils.py:157-214 (reinit_lora_modules).
@@ -190,9 +195,11 @@ def reinit_lora(params, grads=None, init_type: str = 'gradient',
                 newB = U[:, r:2 * r] * scale
                 new['lora_A'] = newA.astype(A.dtype)
                 new['lora_B'] = newB.astype(B.dtype)
-                # keep f(x) unchanged at init (LoRA-GA offsets W)
-                new['kernel'] = p['kernel'] - (newB @ newA).T.astype(
-                    p['kernel'].dtype)
+                # keep f(x) unchanged at init (LoRA-GA offsets W by
+                # the SAME scaled update the forward adds)
+                scaling = (alpha if alpha is not None else r) / r
+                new['kernel'] = p['kernel'] - scaling * (
+                    newB @ newA).T.astype(p['kernel'].dtype)
             else:
                 k1, _ = jax.random.split(jax.random.fold_in(rng, key[0]))
                 new['lora_A'] = nn.initializers.kaiming_uniform()(

@@ -95,15 +95,29 @@ def convert_funasr_cmvn(cmvn_json_path: str, out_path: str):
         mean, var = obj['mean_stat'], obj['var_stat']
         count = obj['frame_num']
     except (json.JSONDecodeError, KeyError):
-        # kaldi text matrix am.mvn: two rows (means*-1*count? FunASR
-        # stores add-shift / rescale); fall back to raw parse
-        rows = [[float(x) for x in line.split()[:-1]]
-                for line in text.splitlines()
-                if line.strip() and not line.strip().startswith('<')]
-        assert len(rows) >= 2, 'unrecognized cmvn format'
-        # FunASR am.mvn stores (-mean) and (1/std): invert to stats
-        neg_mean, inv_std = rows[0], rows[1]
+        # FunASR am.mvn (kaldi nnet text): the stats live on the
+        # '<LearnRateCoef> 0 [ v1 ... vD ]' line FOLLOWING the
+        # '<AddShift>' / '<Rescale>' headers
+        # (ref convert_paraformer_to_wenet_config_and_ckpt.py:17-43)
+        lines = text.splitlines()
+        neg_mean, inv_std = None, None
+        for i, line in enumerate(lines):
+            item = line.split()
+            if not item:
+                continue
+            if item[0] in ('<AddShift>', '<Rescale>') and \
+                    i + 1 < len(lines):
+                nxt = lines[i + 1].split()
+                if nxt and nxt[0] == '<LearnRateCoef>':
+                    vals = [float(x) for x in nxt[3:len(nxt) - 1]]
+                    if item[0] == '<AddShift>':
+                        neg_mean = vals
+                    else:
+                        inv_std = vals
+        assert neg_mean is not None and inv_std is not None, \
+            'unrecognized cmvn format'
         count = 1.0
+        # paraformer stores (-mean) and (1/std): invert to stats
         mean = [-m for m in neg_mean]
         var = [1.0 / (s * s) + m * m for s, m in zip(inv_std, mean)]
     with open(out_path, 'w', encoding='utf-8') as f:

@@ -176,6 +176,11 @@ class DepthwiseConv2dSubsampling4(nn.Module):
         x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, c * f)
         pos_emb = sinusoidal_position_encoding(
             offset, t, self.pos_enc_dim).astype(x.dtype)
+        # RelPositionalEncoding.xscale (ref embedding.py:145): the
+        # flattened conv features are scaled by sqrt(d_model) BEFORE
+        # input_proj — omitting it makes every activation ~16x small
+        # and breaks checkpoint import
+        x = x * math.sqrt(self.pos_enc_dim)
         x = nn.Dense(self.idim, name='input_proj')(x)
         x = nn.Dropout(self.input_dropout_rate)(
             x, deterministic=deterministic)

@@ -45,11 +45,23 @@ def sample_negative_indices(rng: jax.Array, B: int, T: int,
                             mask: jax.Array) -> jax.Array:
     """(B, T*num_negatives) flat indices into (B*T, ...) features.
 
-    Samples uniform positions != t within each utterance (HF-style)."""
+    Negatives are drawn ONLY from the masked positions of the same
+    utterance, excluding the anchor itself (ref
+    wav2vec2_model.py:16-55 _sample_negative_indices) — sampling over
+    all T would hand padding/unmasked frames to the contrastive
+    loss."""
+    mask = mask.astype(bool)
+    cnt = mask.sum(-1)  # masked count per row (B,)
+    # masked positions packed to the front, in mask order
+    masked_pos = jnp.argsort(~mask, axis=-1, stable=True)  # (B, T)
+    order = jnp.cumsum(mask, axis=-1) - 1  # anchor's index among masks
     r = jax.random.uniform(rng, (B, T, num_negatives))
-    idx = (r * (T - 1)).astype(jnp.int32)
-    pos = jnp.arange(T)[None, :, None]
-    idx = jnp.where(idx >= pos, idx + 1, idx)  # avoid the positive
-    idx = jnp.clip(idx, 0, T - 1)
+    high = jnp.maximum(cnt - 1, 1)[:, None, None]
+    samp = (r * high).astype(jnp.int32)  # in [0, cnt-2]
+    samp = jnp.where(samp >= order[:, :, None], samp + 1, samp)
+    samp = jnp.clip(samp, 0, jnp.maximum(cnt[:, None, None] - 1, 0))
+    neg = jnp.take_along_axis(
+        masked_pos, samp.reshape(B, -1), axis=-1).reshape(
+            B, T, num_negatives)
     batch_offset = (jnp.arange(B) * T)[:, None, None]
-    return (idx + batch_offset).reshape(B, T * num_negatives)
+    return (neg + batch_offset).reshape(B, T * num_negatives)

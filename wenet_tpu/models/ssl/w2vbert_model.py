@@ -120,11 +120,19 @@ class W2VBERTModel(nn.Module):
         true_lp = jnp.take_along_axis(logp, tgt[..., None],
                                       axis=-1)[..., 0]
         m = span_mask[:, None, :] * masks[:, 0, None, :]
+        # ref w2vbert_model.py:284: normalized by mask.sum() *
+        # num_codebooks (m already spans the G axis, so divide by G)
         loss_mlm = -jnp.sum(true_lp * m) / jnp.maximum(
-            jnp.sum(m) * 1.0, 1.0)
+            jnp.sum(m) * 1.0, 1.0) / self.num_codebooks
 
+        # mlm weight warms from 0.1 to mlm_weight over warmup_steps
+        # (ref :241-242)
+        s = jnp.asarray(steps, jnp.float32)
+        mlm_w = jnp.where(
+            s >= self.warmup_steps, self.mlm_weight,
+            0.1 + 0.9 * s / max(self.warmup_steps, 1))
         loss = (self.contrastive_weight * loss_contrastive +
-                self.mlm_weight * loss_mlm)
+                mlm_w * loss_mlm)
         loss_diversity = None
         if self.diversity_weight != 0.0:
             loss_diversity = (
@@ -136,7 +144,9 @@ class W2VBERTModel(nn.Module):
             loss = loss + self.features_regularization_weight * \
                 features_pen
         ids_corr = jnp.argmax(logits, axis=-1) == tgt
-        acc = jnp.sum(ids_corr * m) / jnp.maximum(jnp.sum(m), 1)
+        # ref :229: num_codes = masked.sum() * num_codebooks
+        acc = jnp.sum(ids_corr * m) / jnp.maximum(
+            jnp.sum(m) * self.num_codebooks, 1)
         return {'loss': loss, 'loss_contrastive': loss_contrastive,
                 'loss_mlm': loss_mlm, 'loss_diversity': loss_diversity,
                 'code_ppl': perplexity, 'features_l2': features_pen,

@@ -68,6 +68,7 @@ class TorchLSTM(nn.Module):
                 rks.append(self._make_layer(k, in_dim, '_reverse'))
         self.layers = ks
         self.rlayers = rks
+        self.interlayer_dropout = nn.Dropout(self.dropout)
 
     def _cell(self, p, x, h, c):
         gates = x @ p['weight_ih'].T + h @ p['weight_hh'].T
@@ -89,8 +90,11 @@ class TorchLSTM(nn.Module):
                                   reverse=reverse)
         return jnp.swapaxes(ys, 0, 1), h, c
 
-    def __call__(self, x, state):
-        """x: (B, L, E); state: (h, c) each (num_layers*dirs, B, H)."""
+    def __call__(self, x, state, train: bool = False):
+        """x: (B, L, E); state: (h, c) each (num_layers*dirs, B, H).
+
+        train: applies torch nn.LSTM's inter-layer dropout (after
+        every layer except the last) when self.dropout > 0."""
         h0, c0 = state
         dirs = 2 if self.bidirectional else 1
         hs, cs = [], []
@@ -109,6 +113,8 @@ class TorchLSTM(nn.Module):
                 x = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 x = fwd
+            if self.dropout > 0 and k < self.num_layers - 1:
+                x = self.interlayer_dropout(x, deterministic=not train)
         return x, (jnp.stack(hs), jnp.stack(cs))
 
     def step(self, x, state):
@@ -144,7 +150,7 @@ class RNNPredictor(nn.Module):
         self.rnn = TorchLSTM(input_size=self.embed_size,
                              hidden_size=self.hidden_size,
                              num_layers=self.num_layers, bias=self.bias,
-                             name='rnn')
+                             dropout=self.dropout, name='rnn')
         self.projection = nn.Dense(self.output_size, name='projection')
 
     def init_state(self, batch_size: int, dtype=jnp.float32):
@@ -158,7 +164,7 @@ class RNNPredictor(nn.Module):
                                  deterministic=not train)
         state = cache if cache is not None else self.init_state(
             input.shape[0], emb.dtype)
-        out, _ = self.rnn(emb, state)
+        out, _ = self.rnn(emb, state, train=train)
         return self.projection(out)
 
     def select_state(self, new_state, old_state, keep_new: jax.Array):

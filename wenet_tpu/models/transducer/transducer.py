@@ -136,16 +136,20 @@ class Transducer(ASRModel):
     def beam_search(self, encoder_out: jax.Array,
                     encoder_out_lens: jax.Array,
                     beam_size: int = 4,
-                    max_sym_per_frame: int = 2,
+                    ctc_weight: float = 0.3,
+                    transducer_weight: float = 0.7,
                     max_len: int = 64):
         """Batched RNN-T prefix beam search, fully on-device.
 
         ref: wenet/models/transducer/search/prefix_beam_search.py:22-139
-        (same semantics: per frame, hyps may emit up to
-        `max_sym_per_frame` symbols then take blank; equal prefixes are
-        probability-merged).  Fixed shapes: beam K, prefix buffer
-        `max_len`, rolling-hash dedup with pairwise logsumexp merge —
-        one lax.scan over frames, no host loop.
+        — exact reference semantics: breadthwise search where every
+        frame each hypothesis consumes exactly ONE symbol (blank keeps
+        the prefix and the predictor state; a unit appends and advances
+        the predictor), per-step CTC shallow fusion
+        log(tw*exp(rnnt) + cw*exp(ctc)) (ref :100-104, wrapper
+        defaults transducer.py:224), equal prefixes log-add merged.
+        Fixed shapes: beam K, prefix buffer `max_len`, rolling-hash
+        dedup — one lax.scan over frames, no host loop.
 
         Returns (tokens (B,K,U), lens (B,K), scores (B,K)) sorted by
         score descending.
@@ -193,94 +197,77 @@ class Transducer(ASRModel):
                 logits[:, 0, 0, :].astype(jnp.float32), -1).reshape(
                     B, K, -1)
 
-        def frame_step(carry, inp):
-            frame, t_idx = inp
-            tokens, lens, scores, hashes, pred_out, pred_state = carry
-            pool_scores, pool_ref = [], []
-            cur = (tokens, lens, scores, hashes, pred_out, pred_state)
-            rounds = []
-            for e in range(max_sym_per_frame + 1):
-                (c_tok, c_len, c_sc, c_h, c_po, c_ps) = cur
-                logp = joint_logp(frame, c_po)  # (B,K,V)
-                V = logp.shape[-1]
-                rounds.append(cur)
-                pool_scores.append(c_sc + logp[..., self.blank])
-                pool_ref.append(
-                    (jnp.full((B, K), e, jnp.int32),
-                     jnp.arange(K)[None, :].repeat(B, 0)))
-                if e == max_sym_per_frame:
-                    break
-                tok_logp = logp.at[..., self.blank].set(NEG)
-                tok_logp = jnp.where((c_len >= U)[..., None], NEG,
-                                     tok_logp)
-                flat = (c_sc[..., None] + tok_logp).reshape(B, K * V)
-                top_v, top_i = jax.lax.top_k(flat, K)
-                src = (top_i // V).astype(jnp.int32)  # (B,K)
-                tok = (top_i % V).astype(jnp.int32)
-                n_tok = jnp.take_along_axis(c_tok, src[..., None],
-                                            axis=1)
-                n_len = jnp.take_along_axis(c_len, src, axis=1)
-                n_tok = jnp.where(
-                    (jnp.arange(U)[None, None, :] ==
-                     n_len[..., None]), tok[..., None], n_tok)
-                n_h = (jnp.take_along_axis(c_h, src, axis=1) * MUL +
-                       tok.astype(jnp.uint32) + 1)
-                idx_flat = (base + src).reshape(-1)  # (B*K,)
-                g_state = gather_state(c_ps, idx_flat)
-                n_po, n_ps = self.predictor.forward_step(
-                    tok.reshape(-1, 1), padding, g_state)
-                cur = (n_tok, n_len + 1, top_v, n_h, n_po, n_ps)
+        use_ctc = self.ctc is not None and ctc_weight > 0.0
+        ctc_frames = None
+        if use_ctc:
+            ctc_logp = self.ctc.log_softmax(encoder_out)  # (B,T,V)
+            ctc_frames = jnp.moveaxis(ctc_logp, 0, 1)  # (T,B,V)
 
-            P = len(pool_scores)
-            p_sc = jnp.concatenate(pool_scores, axis=1)  # (B, P*K)
-            p_round = jnp.concatenate([r for r, _ in pool_ref], axis=1)
-            p_slot = jnp.concatenate([s for _, s in pool_ref], axis=1)
-            p_h = jnp.concatenate(
-                [rounds[e][3] for e in range(P)], axis=1)
-            # merge equal prefixes: logsumexp over equal hashes, keep
-            # the first occurrence only
+        def frame_step(carry, inp):
+            if use_ctc:
+                frame, ctc_t, t_idx = inp
+            else:
+                frame, t_idx = inp
+                ctc_t = None
+            tokens, lens, scores, hashes, pred_out, pred_state = carry
+            logp = joint_logp(frame, pred_out)  # (B,K,V)
+            if use_ctc:
+                # shallow fusion (ref prefix_beam_search.py:100-104)
+                logp = jnp.log(jnp.maximum(
+                    transducer_weight * jnp.exp(logp) +
+                    ctc_weight * jnp.exp(ctc_t)[:, None, :], 1e-30))
+            # per-hyp first prune: top-K symbols (blank may be among
+            # them; ref :105-127)
+            top_v, top_i = jax.lax.top_k(logp, K)  # (B,K,K)
+            cand_sc = scores[:, :, None] + top_v
+            is_blank = top_i == self.blank
+            # a unit at a full prefix buffer is not expandable
+            cand_sc = jnp.where(~is_blank & (lens >= U)[:, :, None],
+                                NEG, cand_sc)
+            cand_h = jnp.where(
+                is_blank, hashes[:, :, None].repeat(K, 2),
+                hashes[:, :, None] * MUL + top_i.astype(jnp.uint32) + 1)
+            N = K * K
+            p_sc = cand_sc.reshape(B, N)
+            p_h = cand_h.reshape(B, N)
+            p_tok = top_i.reshape(B, N)
+            p_blank = is_blank.reshape(B, N)
+            p_src = jnp.broadcast_to(
+                jnp.arange(K)[None, :, None], (B, K, K)).reshape(B, N)
+
+            # prefix fusion: log-add equal prefixes, keep first
+            # occurrence (ref :129-142)
             eq = p_h[:, :, None] == p_h[:, None, :]
             merged = jax.nn.logsumexp(
                 jnp.where(eq, p_sc[:, None, :], NEG), axis=-1)
-            N = p_h.shape[1]
             first = jnp.min(
                 jnp.where(eq, jnp.arange(N)[None, None, :], N),
                 axis=-1) == jnp.arange(N)[None, :]
             final = jnp.where(first, merged, NEG)
-            top_v, top_i = jax.lax.top_k(final, K)  # (B,K)
-            sel_round = jnp.take_along_axis(p_round, top_i, axis=1)
-            sel_slot = jnp.take_along_axis(p_slot, top_i, axis=1)
+            top_fv, top_fi = jax.lax.top_k(final, K)  # (B,K)
+            sel_src = jnp.take_along_axis(p_src, top_fi, axis=1)
+            sel_tok = jnp.take_along_axis(p_tok, top_fi, axis=1)
+            sel_blank = jnp.take_along_axis(p_blank, top_fi, axis=1)
+            n_hash = jnp.take_along_axis(p_h, top_fi, axis=1)
 
-            def pick(field_idx):
-                stacked = jnp.stack(
-                    [rounds[e][field_idx] for e in range(P)], axis=1)
-                # stacked (B, P, K, ...): select [b, round, slot]
-                br = jnp.arange(B)[:, None]
-                return stacked[br, sel_round, sel_slot]
+            n_tok = jnp.take_along_axis(tokens, sel_src[..., None],
+                                        axis=1)
+            n_len = jnp.take_along_axis(lens, sel_src, axis=1)
+            n_tok = jnp.where(
+                (jnp.arange(U)[None, None, :] == n_len[..., None]) &
+                (~sel_blank)[..., None], sel_tok[..., None], n_tok)
+            n_len = n_len + (~sel_blank).astype(jnp.int32)
 
-            n_tokens = pick(0)
-            n_lens = pick(1)
-            n_hash = pick(3)
-            # states are (B*K, ...) per round: gather leafwise
-            sel_flat = (base + sel_slot).reshape(-1)
-
-            def pick_state(field_idx):
-                trees = [rounds[e][field_idx] for e in range(P)]
-                def leaf(*xs):
-                    ax = _state_axis(xs[0])
-                    xs = [jnp.moveaxis(x, ax, 0) for x in xs]
-                    stacked = jnp.stack(
-                        [x.reshape((B, K) + x.shape[1:]) for x in xs],
-                        axis=1)  # (B, P, K, ...)
-                    br = jnp.arange(B)[:, None]
-                    out = stacked[br, sel_round, sel_slot]
-                    out = out.reshape((B * K,) + out.shape[2:])
-                    return jnp.moveaxis(out, 0, ax)
-                return jax.tree_util.tree_map(leaf, trees[0],
-                                              *trees[1:])
-
-            n_po = pick_state(4)
-            n_ps = pick_state(5)
+            # predictor: blank keeps the source state/output, a unit
+            # advances through forward_step (ref :110-127)
+            idx_flat = (base + sel_src).reshape(-1)  # (B*K,)
+            g_state = gather_state(pred_state, idx_flat)
+            g_po = jnp.take(pred_out, idx_flat, axis=0)
+            n_po_new, n_ps_new = self.predictor.forward_step(
+                sel_tok.reshape(-1, 1), padding, g_state)
+            emit = (~sel_blank).reshape(-1)
+            n_po = jnp.where(emit[:, None, None], n_po_new, g_po)
+            n_ps = self.predictor.select_state(n_ps_new, g_state, emit)
 
             active = (t_idx < encoder_out_lens)  # (B,)
 
@@ -297,15 +284,17 @@ class Transducer(ASRModel):
                     return jnp.where(a, n, o)
                 return jax.tree_util.tree_map(leaf, new, old)
 
-            out = (keep(n_tokens, tokens), keep(n_lens, lens),
-                   keep(top_v, scores), keep(n_hash, hashes),
+            out = (keep(n_tok, tokens), keep(n_len, lens),
+                   keep(top_fv, scores), keep(n_hash, hashes),
                    keep(n_po, pred_out), keep(n_ps, pred_state))
             return out, None
 
         init = (tokens0, lens0, scores0, hash0, pred_out0, pred_state0)
         frames = jnp.moveaxis(encoder_out, 0, 1)  # (T, B, E)
+        xs = ((frames, ctc_frames, jnp.arange(T)) if use_ctc else
+              (frames, jnp.arange(T)))
         (tokens, lens, scores, _, _, _), _ = jax.lax.scan(
-            frame_step, init, (frames, jnp.arange(T)))
+            frame_step, init, xs)
         order = jnp.argsort(-scores, axis=1)
         tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
         lens = jnp.take_along_axis(lens, order, axis=1)
