@@ -57,10 +57,14 @@ def test_export_chunk_roundtrip(tiny_setup):
 def test_export_full_symbolic_dims(tiny_setup):
     from wenet_tpu.bin.export_model import export_encoder_full
     model, variables, configs = tiny_setup
-    exp = export_encoder_full(model, variables, 80)
+    exp, constraint = export_encoder_full(model, variables, 80)
+    # constraint derived from the real subsampling geometry
+    sub = model.encoder.subsampling_rate
+    base = model.encoder.right_context + sub
+    assert constraint == f'{sub}*t + {base}'
     reloaded = jexport.deserialize(exp.serialize())
     rng = np.random.RandomState(1)
-    for B, T in ((2, 39), (1, 63)):
+    for B, T in ((2, sub * 8 + base), (1, sub * 13 + base)):
         speech = jnp.asarray(rng.randn(B, T, 80).astype(np.float32))
         lens = jnp.full((B,), T, jnp.int32)
         out, mask, logp = reloaded.call(speech, lens)

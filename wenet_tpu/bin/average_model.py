@@ -24,6 +24,12 @@ def get_args():
 def list_checkpoints(src_path, val_best, num, min_epoch, max_epoch):
     cands = []
     for d in glob.glob(os.path.join(src_path, '*')):
+        name = os.path.basename(d)
+        # the 'final' symlink aliases the last epoch dir — including
+        # it would average those weights twice (ref average_model.py
+        # excludes final*/avg*)
+        if name.startswith('final') or name.startswith('avg'):
+            continue
         info = os.path.join(d, 'infos.yaml')
         if not os.path.isdir(d) or not os.path.exists(info):
             continue

@@ -64,17 +64,22 @@ def decode_utt(decoder, wav_path, simulate_streaming, interval_ms):
     wave_dur = len(pcm) / rate
     samples_per_chunk = int(rate * interval_ms / 1000)
     decoder.reset()
-    t0 = time.perf_counter()
+    # time only the decode work, excluding the simulated real-time
+    # sleeps (ref decoder_main.cc times Decode() calls only)
+    dt = 0.0
     for i in range(0, len(pcm), samples_per_chunk):
         chunk = pcm[i:i + samples_per_chunk]
         if simulate_streaming:
             time.sleep(interval_ms / 1000.0)
+        t0 = time.perf_counter()
         decoder.accept_waveform(chunk)
         decoder.decode()
+        dt += time.perf_counter() - t0
+    t0 = time.perf_counter()
     decoder.set_input_finished()
     decoder.decode()
     decoder.rescoring()
-    dt = time.perf_counter() - t0
+    dt += time.perf_counter() - t0
     text = decoder.result[0].sentence if decoder.result else ''
     return text, wave_dur, dt
 

@@ -62,7 +62,16 @@ def export_encoder_chunk(model, variables, cfg: StreamingConfig,
 
 
 def export_encoder_full(model, variables, input_dim: int):
-    """Full-context encoder with symbolic (B, T) dims."""
+    """Full-context encoder with symbolic (B, T) dims.
+
+    The T constraint is derived from the encoder's real subsampling
+    geometry (sub*k + right_context + 1 yields a whole number of
+    output frames) and recorded in export_meta.json as
+    'time_constraint' so loaders know what to pad to."""
+    enc = model.encoder
+    sub = enc.subsampling_rate
+    ctx = enc.right_context + 1
+    constraint = f'{sub}*t + {ctx + sub - 1}'
 
     def fn(speech, speech_lengths):
         out, mask = model.apply(variables, speech, speech_lengths,
@@ -70,10 +79,11 @@ def export_encoder_full(model, variables, input_dim: int):
         logp = model.apply(variables, out, method=model.ctc_activation)
         return out, mask, logp
 
-    b, t = jexport.symbolic_shape('b, 8*t + 15')
-    return jexport.export(jax.jit(fn))(
+    b, t = jexport.symbolic_shape(f'b, {constraint}')
+    exp = jexport.export(jax.jit(fn))(
         jax.ShapeDtypeStruct((b, t, input_dim), jnp.float32),
         jax.ShapeDtypeStruct((b,), jnp.int32))
+    return exp, constraint
 
 
 def export_decoder(model, variables, beam: int, max_len: int,
@@ -129,15 +139,19 @@ def main(argv=None):
         'output_dim': configs['output_dim'],
         'beam': args.beam,
         'max_hyp_len': args.max_hyp_len,
-        'sos': configs['output_dim'] - 1,
-        'eos': configs['output_dim'] - 1,
+        # from the model, not output_dim-1: special_tokens configs
+        # (whisper-style) use different ids (ref asr_model.py:39-48)
+        'sos': int(model.sos),
+        'eos': int(model.eos),
     }
 
     exp, _ = export_encoder_chunk(model, variables, cfg, input_dim)
     with open(os.path.join(args.output_dir,
                            'encoder_chunk.stablehlo'), 'wb') as f:
         f.write(bytes(exp.serialize()))
-    exp = export_encoder_full(model, variables, input_dim)
+    exp, time_constraint = export_encoder_full(model, variables,
+                                               input_dim)
+    meta['time_constraint'] = time_constraint
     with open(os.path.join(args.output_dir,
                            'encoder_full.stablehlo'), 'wb') as f:
         f.write(bytes(exp.serialize()))

@@ -81,7 +81,19 @@ def main(argv=None):
         num_left_chunks=-1, beam_size=args.beam_size,
         reverse_weight=0.0, lm_path='', lm_weight=0.5, fst_path='',
         dict_path='', no_lowercase=False)
-    server = make_server(lambda: build_decoder(dargs), args.port)
+    # load the model ONCE; per-connection factories construct only the
+    # cheap AsrDecoder sharing the device-resident variables (the grpc/
+    # websocket servers use the same split — reloading the checkpoint
+    # per POST costs seconds)
+    proto = build_decoder(dargs)
+
+    def factory():
+        from wenet_tpu.runtime.asr_decoder import AsrDecoder
+        return AsrDecoder(proto.model, proto.variables, proto.tokenizer,
+                          proto.opts, proto.feature_pipeline.config,
+                          post_processor=proto.post_processor)
+
+    server = make_server(factory, args.port)
     logger.info('http server listening on :%d', args.port)
     server.serve_forever()
 

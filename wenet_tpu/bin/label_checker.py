@@ -79,9 +79,12 @@ def main(argv=None):
                      enumerate(np.asarray(ali))]))
                 status = 'SUSPICIOUS' if score > args.is_penalty else 'OK'
             greedy = np.argmax(logp, -1)
-            hyp_ids = [int(t) for t in greedy if t != 0]
-            dedup = [t for i, t in enumerate(hyp_ids)
-                     if i == 0 or t != hyp_ids[i - 1]]
+            # dedup BEFORE dropping blanks: [a, blank, a] is a genuine
+            # repeat 'a a', not one 'a' (utils/ctc_utils semantics)
+            from wenet_tpu.utils.ctc_utils import (
+                remove_duplicates_and_blank)
+            dedup = remove_duplicates_and_blank(
+                [int(t) for t in greedy], blank_id=0)
             hyp_text, _ = tokenizer.detokenize(dedup)
             msg = f'{key} {status} score={score:.3f} ref={texts[key]} ' \
                   f'hyp={hyp_text}'

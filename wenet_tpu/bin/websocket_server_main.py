@@ -66,7 +66,10 @@ def main():
                          beam_size=args.beam_size)
     ep = CtcEndpointConfig(blank_scale=args.blank_scale,
                            blank_threshold=args.blank_threshold)
-    feat_cfg = FeaturePipelineConfig(num_mel_bins=num_mel)
+    # full feature geometry from train.yaml (frame length/shift,
+    # resample rate) — hand-building from num_mel_bins alone silently
+    # drops non-default settings
+    feat_cfg = FeaturePipelineConfig.from_configs(configs)
 
     batch_runner = None
     if args.batch_serving:

@@ -92,8 +92,12 @@ class Model:
             info = []
             times = res.times or [0] * len(tokens)
             confs = res.tokens_confidence or [1.0] * len(tokens)
+            # frame period = 10ms * encoder subsampling (not a 4x
+            # constant — conv1d2/conv2d8 models differ)
+            period = 0.01 * self.runner.model.encoder.subsampling_rate
             for t, tm, c in zip(tokens, times, confs):
-                info.append({'token': t, 'start': round(tm * 0.04, 3),
+                info.append({'token': t,
+                             'start': round(tm * period, 3),
                              'confidence': round(float(c), 3)})
             result['tokens'] = info
         return result
@@ -115,14 +119,24 @@ class Model:
                                      jnp.asarray(ids, jnp.int32)))
         sub = self.runner.model.encoder.subsampling_rate
         tokens = self.tokenizer.detokenize(list(ids))[1]
-        # token start = first frame of its viterbi span
+        # walk the viterbi alignment: each new non-blank run that
+        # matches the next expected label starts that OCCURRENCE —
+        # repeated tokens get their own span, not the first one's
         info = []
-        seen = 0
-        for i, tid in enumerate(ids):
-            pos = [t for t, a in enumerate(ali) if a == tid]
-            start = pos[0] if pos else 0
-            info.append({'token': tokens[i],
-                         'start': round(start * 0.01 * sub, 3)})
+        expected = [int(t) for t in ids]
+        idx = 0
+        prev = -1
+        for t, a in enumerate(int(x) for x in ali):
+            if a != 0 and a != prev and idx < len(expected) \
+                    and a == expected[idx]:
+                info.append({'token': tokens[idx],
+                             'start': round(t * 0.01 * sub, 3)})
+                idx += 1
+            prev = a
+        while idx < len(expected):  # degenerate alignments
+            info.append({'token': tokens[idx],
+                         'start': info[-1]['start'] if info else 0.0})
+            idx += 1
         return {'text': label, 'tokens': info}
 
     # compat with ref API

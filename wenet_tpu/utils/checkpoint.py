@@ -147,15 +147,22 @@ def convert_torch_state_dict(state_dict: Dict[str, Any],
 def load_checkpoint(model, variables, path: str):
     """ref: checkpoint.py:26-57.  Returns (variables, infos)."""
     if path.endswith('.pt') or path.endswith('.pth') or \
-            path.endswith('.bin'):
+            path.endswith('.bin') or path.endswith('.zip'):
         import torch
-        ckpt = torch.load(path, map_location='cpu', weights_only=True)
+        if path.endswith('.zip'):
+            # torchscript archive (hub 'final.zip' / export_jit
+            # output): recover the weights via jit.load().state_dict()
+            ts = torch.jit.load(path, map_location='cpu')
+            ckpt = ts.state_dict()
+        else:
+            ckpt = torch.load(path, map_location='cpu',
+                              weights_only=True)
         if isinstance(ckpt, dict) and 'state_dict' in ckpt:
             ckpt = ckpt['state_dict']
         # strip DDP 'module.' prefixes
         ckpt = {k.removeprefix('module.'): v for k, v in ckpt.items()}
         variables = convert_torch_state_dict(ckpt, variables)
-        info_path = re.sub(r'\.(pt|pth|bin)$', '.yaml', path)
+        info_path = re.sub(r'\.(pt|pth|bin|zip)$', '.yaml', path)
     else:
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
