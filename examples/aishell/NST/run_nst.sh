@@ -4,6 +4,11 @@
 #   agreement-filtered pseudo labels join the supervised list, student
 #   retrains; iterate.
 set -eo pipefail
+
+# repo root: tools and the wenet_tpu package are resolved from here, so
+# the recipe runs from any cwd
+WENET_DIR=$(cd "$(dirname "$0")/../../.." && pwd)
+export PYTHONPATH=$WENET_DIR${PYTHONPATH:+:$PYTHONPATH}
 cd "$(dirname "$0")"
 
 iterations=3
@@ -19,11 +24,11 @@ for it in $(seq 1 $iterations); do
   echo "NST iter $it: pseudo-label with $teacher_dir"
   python -m wenet_tpu.bin.recognize --config $teacher_dir/train.yaml \
     --checkpoint $teacher_dir/final \
-    --test_data <(python ../../../tools/make_raw_list.py $unsup_scp \
+    --test_data <(python $WENET_DIR/tools/make_raw_list.py $unsup_scp \
                   /dev/null /dev/stdout) \
     --modes ctc_greedy_search attention_rescoring \
     --result_dir $out/pseudo
-  python ../../../tools/nst/filter_pseudo_labels.py \
+  python $WENET_DIR/tools/nst/filter_pseudo_labels.py \
     --hyp_a $out/pseudo/ctc_greedy_search/text \
     --hyp_b $out/pseudo/attention_rescoring/text \
     --wav_scp $unsup_scp --max_cer $max_cer \

@@ -4,6 +4,11 @@
 #         decode -> score
 set -eo pipefail
 
+# repo root: tools and the wenet_tpu package are resolved from here, so
+# the recipe runs from any cwd
+WENET_DIR=$(cd "$(dirname "$0")/../../.." && pwd)
+export PYTHONPATH=$WENET_DIR${PYTHONPATH:+:$PYTHONPATH}
+
 stage=0
 stop_stage=5
 data=/export/data/asr-data/OpenSLR/33/
@@ -18,7 +23,7 @@ mesh="data=-1"             # all local devices on the data axis
 average_num=30
 decode_modes="ctc_greedy_search ctc_prefix_beam_search attention attention_rescoring"
 
-. ../../../tools/parse_options.sh
+. $WENET_DIR/tools/parse_options.sh
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   echo "stage 0: data preparation (expects kaldi-style wav.scp/text per set)"
@@ -29,7 +34,7 @@ fi
 
 if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
   echo "stage 1: compute global cmvn"
-  python tools/compute_cmvn_stats.py --num_workers 8 \
+  python $WENET_DIR/tools/compute_cmvn_stats.py --num_workers 8 \
     --train_config $train_config \
     --in_scp data/${train_set}/wav.scp \
     --out_cmvn data/${train_set}/global_cmvn
@@ -38,7 +43,7 @@ fi
 if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
   echo "stage 2: make dict"
   mkdir -p data/dict
-  python tools/text2token.py -s 1 -n 1 data/${train_set}/text \
+  python $WENET_DIR/tools/text2token.py -s 1 -n 1 data/${train_set}/text \
     | cut -f 2- -d" " | tr " " "\n" | sort | uniq | grep -a -v -e '^\s*$' \
     | awk '{print $0 " " NR+1}' > data/dict/lang_char_tmp.txt
   { echo "<blank> 0"; echo "<unk> 1"; cat data/dict/lang_char_tmp.txt; \
@@ -50,11 +55,11 @@ if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
   echo "stage 3: prepare data lists"
   for x in ${train_set} ${dev_set} ${test_sets}; do
     if [ $data_type == "shard" ] && [ $x == "${train_set}" ]; then
-      python tools/make_shard_list.py --num_utts_per_shard 1000 \
+      python $WENET_DIR/tools/make_shard_list.py --num_utts_per_shard 1000 \
         --num_threads 16 data/$x/wav.scp data/$x/text \
         $(realpath data/$x/shards) data/$x/data.list
     else
-      python tools/make_raw_list.py data/$x/wav.scp data/$x/text \
+      python $WENET_DIR/tools/make_raw_list.py data/$x/wav.scp data/$x/text \
         data/$x/data.list
     fi
   done
@@ -89,7 +94,7 @@ if [ ${stage} -le 5 ] && [ ${stop_stage} -ge 5 ]; then
       --result_dir $dir/$test \
       --modes $decode_modes
     for mode in $decode_modes; do
-      python tools/compute_wer.py --char=1 --v=1 \
+      python $WENET_DIR/tools/compute_wer.py --char=1 --v=1 \
         data/$test/text $dir/$test/$mode/text \
         > $dir/$test/$mode/wer
     done

@@ -4,5 +4,6 @@
 # (ref local/*_data_prep.sh beamformed channel), then the shared staged flow (cmvn -> dict -> lists ->
 # train -> average -> decode -> WER).
 cd "$(dirname "$0")"
-bash ../../librispeech/s0/run.sh --train_config conf/train_conformer.yaml \
+bash ../../librispeech/s0/run.sh --tokenizer_type char \
+  --train_config conf/train_conformer.yaml \
   --dir exp/conformer_chime4 "$@"

@@ -3,6 +3,11 @@
 # BPE english flow: spm train/encode -> lists -> train -> decode -> WER.
 set -eo pipefail
 
+# repo root: tools and the wenet_tpu package are resolved from here, so
+# the recipe runs from any cwd
+WENET_DIR=$(cd "$(dirname "$0")/../../.." && pwd)
+export PYTHONPATH=$WENET_DIR${PYTHONPATH:+:$PYTHONPATH}
+
 stage=0
 stop_stage=5
 data=/export/data/LibriSpeech
@@ -13,10 +18,11 @@ test_sets="test_clean test_other"
 train_config=conf/train_conformer_bpe.yaml
 dir=exp/conformer_bpe
 bpe_size=5000
+tokenizer_type=bpe         # bpe | char (char-dict corpora: wsj/chime4/...)
 average_num=30
 decode_modes="ctc_greedy_search ctc_prefix_beam_search attention attention_rescoring"
 
-. ../../../tools/parse_options.sh
+. $WENET_DIR/tools/parse_options.sh
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   echo "stage 0: expects kaldi-style data/{set}/wav.scp,text"
@@ -27,24 +33,39 @@ fi
 
 if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
   echo "stage 1: global cmvn"
-  python ../../../tools/compute_cmvn_stats.py --num_workers 8 \
+  python $WENET_DIR/tools/compute_cmvn_stats.py --num_workers 8 \
     --train_config $train_config \
     --in_scp data/${train_set}/wav.scp \
     --out_cmvn data/${train_set}/global_cmvn
 fi
 
-if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
+if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ] && \
+   [ "$tokenizer_type" = "char" ]; then
+  echo "stage 2: make char dict"
+  mkdir -p data/dict
+  python $WENET_DIR/tools/text2token.py -s 1 -n 1 data/${train_set}/text \
+    | cut -f 2- -d" " | tr " " "\n" | sort | uniq \
+    | grep -a -v -e '^\s*$' \
+    | awk '{print $0 " " NR+1}' > data/dict/lang_char_tmp.txt
+  { echo "<blank> 0"; echo "<unk> 1"; cat data/dict/lang_char_tmp.txt; \
+    echo "<sos/eos> $(( $(wc -l < data/dict/lang_char_tmp.txt) + 2 ))"; } \
+    > data/dict/lang_char.txt
+fi
+
+if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ] && \
+   [ "$tokenizer_type" = "bpe" ]; then
   echo "stage 2: train BPE model + units"
   mkdir -p data/lang_char
   cut -f 2- -d" " data/${train_set}/text > data/lang_char/input.txt
-  python ../../../tools/spm_train.py --input=data/lang_char/input.txt \
+  python $WENET_DIR/tools/spm_train.py --input=data/lang_char/input.txt \
     --vocab_size=${bpe_size} --model_type=unigram \
     --model_prefix=data/lang_char/train_960_unigram${bpe_size} \
     --input_sentence_size=100000000
-  python ../../../tools/spm_encode.py \
+  python $WENET_DIR/tools/spm_encode.py \
     --model=data/lang_char/train_960_unigram${bpe_size}.model \
     --output_format=piece < data/lang_char/input.txt | tr ' ' '\n' | \
-    sort | uniq | awk '{print $0 " " NR+1}' \
+    sort | uniq | grep -a -v -e '^\s*$' \
+    | awk '{print $0 " " NR+1}' \
     > data/lang_char/units_tmp.txt
   { echo "<blank> 0"; echo "<unk> 1"; cat data/lang_char/units_tmp.txt; \
     echo "<sos/eos> $(( $(wc -l < data/lang_char/units_tmp.txt) + 2 ))"; } \
@@ -54,8 +75,14 @@ fi
 if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
   echo "stage 3: data lists"
   for x in ${train_set} ${dev_set} ${test_sets}; do
-    python ../../../tools/make_raw_list.py data/$x/wav.scp data/$x/text \
-      data/$x/data.list
+    if [ $data_type == "shard" ] && [ $x == "${train_set}" ]; then
+      python $WENET_DIR/tools/make_shard_list.py --num_utts_per_shard 1000 \
+        --num_threads 16 data/$x/wav.scp data/$x/text \
+        $(realpath data/$x/shards) data/$x/data.list
+    else
+      python $WENET_DIR/tools/make_raw_list.py data/$x/wav.scp \
+        data/$x/text data/$x/data.list
+    fi
   done
 fi
 
@@ -79,7 +106,7 @@ if [ ${stage} -le 5 ] && [ ${stop_stage} -ge 5 ]; then
       --test_data data/$t/data.list \
       --modes ${decode_modes} --result_dir $dir/$t
     for mode in ${decode_modes}; do
-      python ../../../tools/compute_wer.py --char 0 data/$t/text \
+      python $WENET_DIR/tools/compute_wer.py --char=0 data/$t/text \
         $dir/$t/$mode/text > $dir/$t/$mode/wer
     done
   done

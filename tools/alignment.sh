@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
 # ref: tools/alignment.sh — CTC forced alignment over a data dir.
-# usage: alignment.sh --dir exp/ --set data/test [--gen_praat true]
+# usage: alignment.sh --dir exp/ --set_dir data/test [--gen_praat true]
 dir=exp
 set_dir=data/test
 config=
@@ -9,7 +9,7 @@ result=ali.res
 gen_praat=false
 . "$(dirname "$0")/parse_options.sh" || exit 1
 [ -z "$config" ] && config=$dir/train.yaml
-[ -z "$checkpoint" ] && checkpoint=$dir/final.pt
+[ -z "$checkpoint" ] && checkpoint=$dir/final
 
 ali_format=$dir/ali_format.data
 python3 "$(dirname "$0")/make_raw_list.py" \

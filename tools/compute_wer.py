@@ -132,9 +132,25 @@ def read_trn(path, to_char, case_sensitive):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith('--')]
-    opts = dict(a[2:].split('=') for a in sys.argv[1:]
-                if a.startswith('--') and '=' in a)
+    # accept both --opt=value and the reference's space-separated
+    # '--opt value' style (ref compute-wer.py argv loop)
+    argv = sys.argv[1:]
+    args, opts = [], {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith('--'):
+            if '=' in a:
+                k, v = a[2:].split('=', 1)
+            elif i + 1 < len(argv) and not argv[i + 1].startswith('--'):
+                k, v = a[2:], argv[i + 1]
+                i += 1
+            else:
+                k, v = a[2:], '1'
+            opts[k] = v
+        else:
+            args.append(a)
+        i += 1
     to_char = opts.get('char', '0') == '1'
     verbose = int(opts.get('v', '1'))
     case_sensitive = opts.get('cs', '0') == '1'

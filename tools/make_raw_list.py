@@ -36,11 +36,15 @@ def main():
             arr = line.strip().split(maxsplit=1)
             texts[arr[0]] = arr[1] if len(arr) > 1 else ''
         if segments is None:
-            for key, txt in texts.items():
-                if key not in wav_table:
+            # iterate the wav table so label-less lists work too (NST
+            # pseudo-labeling passes an empty text file and expects
+            # every wav to appear with txt '')
+            for key, wav in wav_table.items():
+                if texts and key not in texts:
                     continue
                 fout.write(json.dumps(
-                    {'key': key, 'wav': wav_table[key], 'txt': txt},
+                    {'key': key, 'wav': wav,
+                     'txt': texts.get(key, '')},
                     ensure_ascii=False) + '\n')
         else:
             for key, wav_key, start, end in segments:

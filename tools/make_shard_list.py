@@ -19,11 +19,15 @@ def write_tar_file(data_list, tar_file, resample, index, total):
     with tarfile.open(tar_file, 'w') as tar:
         for item in data_list:
             key, txt, wav_path = item['key'], item['txt'], item['wav']
-            wav, sr = read_wav(wav_path, int(item.get('start', 0) * 16000)
-                               if 'start' in item else 0,
-                               int((item.get('end', 0) -
-                                    item.get('start', 0)) * 16000)
-                               if 'end' in item else -1)
+            if 'start' in item:
+                # slice at the file's REAL rate (8k corpora exist)
+                from wenet_tpu.dataset.audio import wav_info
+                rate0, _, _ = wav_info(wav_path)
+                start = int(item['start'] * rate0)
+                nframes = int((item['end'] - item['start']) * rate0)
+                wav, sr = read_wav(wav_path, start, nframes)
+            else:
+                wav, sr = read_wav(wav_path)
             if sr != resample:
                 wav = do_resample(wav, sr, resample)
                 sr = resample
@@ -68,14 +72,33 @@ def main():
             arr = line.strip().split()
             if len(arr) == 2:
                 wav_table[arr[0]] = arr[1]
-    data = []
+    texts = {}
     with open(args.text_file, encoding='utf8') as f:
         for line in f:
             arr = line.strip().split(maxsplit=1)
-            if arr and arr[0] in wav_table:
-                data.append({'key': arr[0],
-                             'txt': arr[1] if len(arr) > 1 else '',
-                             'wav': wav_table[arr[0]]})
+            if arr:
+                texts[arr[0]] = arr[1] if len(arr) > 1 else ''
+    data = []
+    if args.segments is not None:
+        # segments: `seg-id recording-id start end` — one entry per
+        # SEGMENT, audio sliced in write_tar_file
+        with open(args.segments, encoding='utf8') as f:
+            for line in f:
+                arr = line.split()
+                if len(arr) < 4 or arr[1] not in wav_table:
+                    continue
+                seg = arr[0]
+                if seg not in texts:
+                    continue
+                data.append({'key': seg, 'txt': texts[seg],
+                             'wav': wav_table[arr[1]],
+                             'start': float(arr[2]),
+                             'end': float(arr[3])})
+    else:
+        for key, txt in texts.items():
+            if key in wav_table:
+                data.append({'key': key, 'txt': txt,
+                             'wav': wav_table[key]})
     os.makedirs(args.shards_dir, exist_ok=True)
     chunks = [data[i:i + args.num_utts_per_shard]
               for i in range(0, len(data), args.num_utts_per_shard)]

@@ -42,8 +42,16 @@ def main():
                 continue
             obj = json.loads(line)
             try:
-                rate, nframes, _ = wav_info(obj['wav'].split(',')[0])
-                dur = nframes / rate
+                wav = obj['wav']
+                parts = wav.split(',')
+                rate, nframes, _ = wav_info(parts[0])
+                if len(parts) >= 3:
+                    # segmented entry 'path,start,end' (tools/segment.py)
+                    dur = float(parts[2]) - float(parts[1])
+                elif 'start' in obj and 'end' in obj:
+                    dur = float(obj['end']) - float(obj['start'])
+                else:
+                    dur = nframes / rate
             except Exception:  # noqa: BLE001
                 dropped += 1
                 continue
