@@ -224,3 +224,20 @@ def test_list_shuffle_host_consistent_before_shard(data_dir):
         keys.append({b['keys'][0] for b in ds})
     assert keys[0] | keys[1] == {f'utt{i}' for i in range(6)}
     assert not (keys[0] & keys[1])
+
+
+def test_prefetch_delivers_done_with_slow_consumer():
+    """End-of-stream sentinel must be DELIVERED even when the queue is
+    full at producer exit (slow consumer) — a dropped sentinel hangs
+    the epoch."""
+    import time
+    from wenet_tpu.dataset.datapipes import _Gen
+
+    def src():
+        yield from range(6)
+
+    out = []
+    for x in _Gen(src).prefetch(2):
+        time.sleep(0.05)  # consumer slower than producer
+        out.append(x)
+    assert out == list(range(6))

@@ -217,6 +217,9 @@ def test_builtin_itn():
     assert normalize('一个人') == '一个人'      # lone digit left alone
     assert normalize('十块钱') == '10块钱'
     assert normalize('五亿零三百万') == '503000000'
+    # fractions stay in spoken form on BOTH sides of 分之
+    assert normalize('五百分之一') == '五百分之一'
+    assert normalize('三分之十二') == '三分之十二'
 
 
 def test_http_roundtrip(streaming_model):

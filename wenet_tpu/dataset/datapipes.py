@@ -169,10 +169,16 @@ class DataPipe:
                 except Exception as e:  # noqa: BLE001
                     err.append(e)
                 finally:
-                    try:
-                        q.put_nowait(DONE)
-                    except queue.Full:
-                        pass
+                    # DONE must be DELIVERED (a dropped sentinel hangs
+                    # the consumer at end of stream) — same bounded
+                    # put as items so an abandoned consumer still
+                    # releases us via the stop flag
+                    while not stop.is_set():
+                        try:
+                            q.put(DONE, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
 
             t = threading.Thread(target=worker, daemon=True)
             t.start()

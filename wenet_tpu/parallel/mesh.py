@@ -62,11 +62,30 @@ def shard_batch(batch, mesh: Mesh):
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, s), batch)
 
-    def put(x):
+    # Per-host pipelines pad to their own max lengths; the global
+    # array's non-batch dims must agree across processes, so pad every
+    # leaf up to the cross-host max first (control-plane allgather of
+    # the shapes only). 'target'-like int keys pad with IGNORE_ID so
+    # label lengths stay unchanged.
+    from jax.experimental import multihost_utils
+
+    def put(key, x):
         x = np.asarray(x)
+        shapes = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(x.shape)))
+        assert shapes[:, 0].min() == shapes[:, 0].max(), (
+            'per-host batch row counts differ — use fixed batch sizes '
+            'and the wenet_join guard for multi-host training')
+        target = shapes.max(axis=0)
+        if not np.array_equal(target, np.asarray(x.shape)):
+            fill = -1 if key == 'target' else 0
+            pad = [(0, int(t - c)) for c, t in zip(x.shape, target)]
+            x = np.pad(x, pad, constant_values=fill)
         return jax.make_array_from_process_local_data(s, x)
 
-    return jax.tree_util.tree_map(put, batch)
+    if isinstance(batch, dict):
+        return {k: put(k, v) for k, v in batch.items()}
+    return jax.tree_util.tree_map(lambda x: put('', x), batch)
 
 
 def state_shardings(state, mesh: Mesh, shard_model_axis: bool = False,

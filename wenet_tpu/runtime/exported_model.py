@@ -157,7 +157,8 @@ class ExportedAsrDecoder(AsrDecoder):
         meta = self.exported.meta
         beam = meta['beam']
         max_len = meta['max_hyp_len']
-        sos = eos = meta['sos']
+        sos = meta['sos']
+        eos = meta.get('eos', meta['sos'])
         n = min(len(hyps), beam)
         # truncate ONCE so padding and scoring see the same tokens —
         # scoring the untruncated hyp would index past max_hyp_len

@@ -80,8 +80,11 @@ def normalize(text: str) -> str:
         if len(s) == 1 and s not in _SMALL_UNITS:
             return s  # lone digit char: leave prose alone
         # fraction construction 'X分之Y' (X/Y): leave the spoken form
-        # untouched — converting just the denominator corrupts it
+        # untouched on BOTH sides — converting either the denominator
+        # (run before 分之) or the numerator (run after it) corrupts it
         if text[m.end():m.end() + 2] == '分之':
+            return s
+        if text[max(m.start() - 2, 0):m.start()] == '分之':
             return s
         v = _parse_run(s)
         return v if v is not None else s
