@@ -76,6 +76,30 @@ def gen_timestamps_from_peak(cif_peaks: List[int], num_frames: int,
     return times
 
 
+def paraformer_greedy_search_ids(topk_index, logps_all,
+                                 decoder_out_lens,
+                                 cif_peaks=None) -> List[DecodeResult]:
+    """Greedy results from device-precomputed argmax ids + gathered
+    log-probs — avoids fetching the full (B, L, V) logits to host
+    (~90MB/batch for a 5.5k vocab; the fetch dominated decode time on
+    remote-TPU links)."""
+    topk_index = np.asarray(topk_index)
+    logps_all = np.asarray(logps_all)
+    decoder_out_lens = np.asarray(decoder_out_lens)
+    results: List[DecodeResult] = []
+    for i in range(topk_index.shape[0]):
+        n = int(decoder_out_lens[i])
+        hyp = [int(t) for t in topk_index[i][:n]]
+        logps = logps_all[i][:n]
+        tokens_confidence = [math.exp(float(p)) for p in logps]
+        confidence = math.exp(float(logps.sum()) / max(n, 1))
+        results.append(
+            DecodeResult(hyp, tokens_confidence=tokens_confidence,
+                         confidence=confidence))
+    _attach_peak_times(results, cif_peaks)
+    return results
+
+
 def paraformer_greedy_search(decoder_out, decoder_out_lens,
                              cif_peaks=None) -> List[DecodeResult]:
     """ref: search.py:140-179."""
@@ -92,20 +116,26 @@ def paraformer_greedy_search(decoder_out, decoder_out_lens,
         results.append(
             DecodeResult(hyp, tokens_confidence=tokens_confidence,
                          confidence=confidence))
-    if cif_peaks is not None:
-        cif_peaks = np.asarray(cif_peaks)
-        for b in range(cif_peaks.shape[0]):
-            result = results[b]
-            times = []
-            n_token = 0
-            for i, peak in enumerate(cif_peaks[b]):
-                if n_token >= len(result.tokens):
-                    break
-                if peak > 1 - 1e-4:
-                    times.append(i)
-                    n_token += 1
-            result.times = times
+    _attach_peak_times(results, cif_peaks)
     return results
+
+
+def _attach_peak_times(results, cif_peaks):
+    """Timestamp tokens from CIF firing peaks (ref search.py:163-176)."""
+    if cif_peaks is None:
+        return
+    cif_peaks = np.asarray(cif_peaks)
+    for b in range(cif_peaks.shape[0]):
+        result = results[b]
+        times = []
+        n_token = 0
+        for i, peak in enumerate(cif_peaks[b]):
+            if n_token >= len(result.tokens):
+                break
+            if peak > 1 - 1e-4:
+                times.append(i)
+                n_token += 1
+        result.times = times
 
 
 def paraformer_beam_search(decoder_out, decoder_out_lens,

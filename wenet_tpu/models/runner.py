@@ -344,7 +344,7 @@ class AsrRunner:
                            blank_penalty):
         """ref: wenet/models/paraformer/paraformer.py:362-420."""
         from wenet_tpu.models.paraformer.search import (
-            paraformer_beam_search, paraformer_greedy_search)
+            paraformer_beam_search, paraformer_greedy_search_ids)
         model = self.model
         if '_paraformer_fwd' not in self._jitted:
 
@@ -357,12 +357,35 @@ class AsrRunner:
                                               feats_lengths)
         results = {}
         if 'paraformer_greedy_search' in methods or                 'paraformer_beam_search' in methods:
-            peaks = self.model.apply(self.variables, res['tp_alphas'],
-                                     res['decoder_out_lens'],
-                                     method=model.forward_cif_peaks)
+            if '_paraformer_peaks' not in self._jitted:
+
+                def peaks_fn(variables, alphas, lens):
+                    return model.apply(variables, alphas, lens,
+                                       method=model.forward_cif_peaks)
+
+                self._jitted['_paraformer_peaks'] = jax.jit(peaks_fn)
+            peaks = self._jitted['_paraformer_peaks'](
+                self.variables, res['tp_alphas'],
+                res['decoder_out_lens'])
         if 'paraformer_greedy_search' in methods:
-            results['paraformer_greedy_search'] =                 paraformer_greedy_search(res['decoder_out'],
-                                         res['decoder_out_lens'], peaks)
+            # argmax + log-prob gather ON DEVICE: fetching the raw
+            # (B, L, V) logits costs ~90MB/batch at a 5.5k vocab
+            if '_paraformer_greedy_post' not in self._jitted:
+
+                def post(dec_out):
+                    ids = jnp.argmax(dec_out, -1)
+                    lp = jnp.take_along_axis(dec_out, ids[..., None],
+                                             -1)[..., 0]
+                    return ids, lp
+
+                self._jitted['_paraformer_greedy_post'] = jax.jit(post)
+            ids, lp = self._jitted['_paraformer_greedy_post'](
+                res['decoder_out'])
+            ids, lp, out_lens, peaks_np = jax.device_get(
+                (ids, lp, res['decoder_out_lens'], peaks))
+            results['paraformer_greedy_search'] = \
+                paraformer_greedy_search_ids(ids, lp, out_lens,
+                                             peaks_np)
         if 'paraformer_beam_search' in methods:
             results['paraformer_beam_search'] = paraformer_beam_search(
                 res['decoder_out'], res['decoder_out_lens'],
