@@ -157,3 +157,20 @@ def paraformer_beam_search(decoder_out, decoder_out_lens,
         score = float(logp[np.arange(n), best].sum())
         results.append(DecodeResult([int(t) for t in best], score=score))
     return results
+
+
+def paraformer_beam_search_ids(topk_index, logps_all, decoder_out_lens,
+                               **_) -> List[DecodeResult]:
+    """paraformer_beam_search from device-precomputed argmax (the NAR
+    'beam' collapses to argmax — see above) without the (B, L, V)
+    logits fetch."""
+    topk_index = np.asarray(topk_index)
+    logps_all = np.asarray(logps_all)
+    decoder_out_lens = np.asarray(decoder_out_lens)
+    results = []
+    for b in range(topk_index.shape[0]):
+        n = int(decoder_out_lens[b])
+        results.append(DecodeResult(
+            [int(t) for t in topk_index[b][:n]],
+            score=float(logps_all[b][:n].sum())))
+    return results

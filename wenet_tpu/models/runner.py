@@ -344,7 +344,7 @@ class AsrRunner:
                            blank_penalty):
         """ref: wenet/models/paraformer/paraformer.py:362-420."""
         from wenet_tpu.models.paraformer.search import (
-            paraformer_beam_search, paraformer_greedy_search_ids)
+            paraformer_beam_search_ids, paraformer_greedy_search_ids)
         model = self.model
         if '_paraformer_fwd' not in self._jitted:
 
@@ -367,7 +367,8 @@ class AsrRunner:
             peaks = self._jitted['_paraformer_peaks'](
                 self.variables, res['tp_alphas'],
                 res['decoder_out_lens'])
-        if 'paraformer_greedy_search' in methods:
+        if 'paraformer_greedy_search' in methods or \
+                'paraformer_beam_search' in methods:
             # argmax + log-prob gather ON DEVICE: fetching the raw
             # (B, L, V) logits costs ~90MB/batch at a 5.5k vocab
             if '_paraformer_greedy_post' not in self._jitted:
@@ -383,13 +384,13 @@ class AsrRunner:
                 res['decoder_out'])
             ids, lp, out_lens, peaks_np = jax.device_get(
                 (ids, lp, res['decoder_out_lens'], peaks))
+        if 'paraformer_greedy_search' in methods:
             results['paraformer_greedy_search'] = \
                 paraformer_greedy_search_ids(ids, lp, out_lens,
                                              peaks_np)
         if 'paraformer_beam_search' in methods:
-            results['paraformer_beam_search'] = paraformer_beam_search(
-                res['decoder_out'], res['decoder_out_lens'],
-                beam_size=beam_size, eos=model.eos)
+            results['paraformer_beam_search'] = \
+                paraformer_beam_search_ids(ids, lp, out_lens)
         if 'ctc_greedy_search' in methods or                 'ctc_prefix_beam_search' in methods:
             from wenet_tpu.models.transformer.search import (
                 ctc_greedy_search, ctc_prefix_beam_search)
