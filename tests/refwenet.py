@@ -29,6 +29,47 @@ def _stub(name, **attrs):
     return mod
 
 
+def _oracle_rnnt_loss(logits, targets, logit_lengths, target_lengths,
+                      blank=-1, clamp=-1.0, reduction='mean'):
+    """Brute-force log-semiring RNNT DP with torchaudio's semantics.
+
+    An *independent oracle* (O(B·T·U) python loops, no shared code with
+    wenet_tpu/ops/rnnt_loss.py's wavefront scan) so that reference-model
+    loss parity in test_reference_parity_zoo.py compares two unrelated
+    implementations.  Signature matches torchaudio.functional.rnnt_loss
+    as called by the reference (transducer.py:180,495)."""
+    import torch
+    logp = torch.log_softmax(logits.float(), dim=-1)
+    if blank < 0:
+        blank = logits.shape[-1] + blank
+    losses = []
+    for b in range(logits.shape[0]):
+        T = int(logit_lengths[b])
+        U = int(target_lengths[b])
+        lp = logp[b]
+        neg_inf = torch.tensor(float('-inf'))
+        alpha = torch.full((T, U + 1), float('-inf'))
+        alpha[0, 0] = 0.0
+        for t in range(T):
+            for u in range(U + 1):
+                if t == 0 and u == 0:
+                    continue
+                emit = (alpha[t, u - 1] +
+                        lp[t, u - 1, int(targets[b, u - 1])]
+                        ) if u > 0 else neg_inf
+                step = (alpha[t - 1, u] + lp[t - 1, u, blank]
+                        ) if t > 0 else neg_inf
+                alpha[t, u] = torch.logsumexp(
+                    torch.stack([emit, step]), 0)
+        losses.append(-(alpha[T - 1, U] + lp[T - 1, U, blank]))
+    losses = torch.stack(losses)
+    if reduction == 'mean':
+        return losses.mean()
+    if reduction == 'sum':
+        return losses.sum()
+    return losses
+
+
 def _install_stubs():
     # langid: processor.py imports LanguageIdentifier/model at module scope
     class _LanguageIdentifier:
@@ -55,7 +96,7 @@ def _install_stubs():
     # (a latent bug in the reference — it just wants typing.Tuple)
     import typing as _typing
     tak = _stub('torchaudio.compliance.kaldi', Tuple=_typing.Tuple)
-    taf = _stub('torchaudio.functional')
+    taf = _stub('torchaudio.functional', rnnt_loss=_oracle_rnnt_loss)
     ta.compliance = tac
     ta.functional = taf
     tac.kaldi = tak
@@ -81,6 +122,39 @@ def _install_stubs():
             setattr(_conv, name, val)
 
 
+def _patch_grouped_attention_cache():
+    """The reference's GroupedRelPositionMultiHeadedAttention.forward
+    (efficient_conformer/attention.py:180-258) still takes the OLD
+    tensor-style kv cache, but the shared ConformerEncoderLayer passes
+    the new tuple T_CACHE (transformer/encoder_layer.py:79,114) — the
+    reference's own EfficientConformer full forward crashes at this
+    snapshot.  Adapt tuple<->tensor at the boundary so the (otherwise
+    untouched) reference math can run for parity tests."""
+    import torch
+    from wenet.models.efficient_conformer.attention import (
+        GroupedRelPositionMultiHeadedAttention as G)
+    orig = G.forward
+
+    def forward(self, query, key, value,
+                mask=torch.ones((0, 0, 0), dtype=torch.bool),
+                pos_emb=torch.empty(0),
+                cache=torch.zeros((0, 0, 0, 0))):
+        tupled = isinstance(cache, tuple)
+        if tupled:
+            k_cache, v_cache = cache
+            cache = (torch.cat([k_cache, v_cache], dim=-1)
+                     if k_cache.size(0) > 0 else
+                     torch.zeros((0, 0, 0, 0)))
+        out, new_cache = orig(self, query, key, value, mask, pos_emb,
+                              cache)
+        if tupled:
+            new_cache = tuple(
+                torch.split(new_cache, new_cache.size(-1) // 2, dim=-1))
+        return out, new_cache
+
+    G.forward = forward
+
+
 @functools.lru_cache(maxsize=1)
 def load():
     """Import and return the reference `wenet` package (cached)."""
@@ -88,4 +162,5 @@ def load():
     if REF_PATH not in sys.path:
         sys.path.insert(0, REF_PATH)
     import wenet  # noqa: F401
+    _patch_grouped_attention_cache()
     return wenet

@@ -276,8 +276,7 @@ def whisper_pair():
         tmodel.decoder.embed[1].pe.normal_(0, 0.1)
     tmodel.eval()
     sd = {k: v for k, v in tmodel.state_dict().items()
-          if k not in ('decoder.output_layer.weight',
-                       'decoder.output_layer.bias')}
+          if k != 'decoder.output_layer.weight'}
     jmodel, configs = our_init_model(None, copy.deepcopy(WCONFIGS))
     variables, _ = init_variables(jmodel, configs)
     variables = convert_torch_state_dict(sd, variables, strict=True)

@@ -48,10 +48,11 @@ class CTLModel(ASRModel):
         rng = (chunk_rng if chunk_rng is not None else
                jax.random.PRNGKey(0))
         r_chunk, r_neg = jax.random.split(rng)
-        # full-context pass (ref forward_full)
+        # full-context pass (ref Dual*Encoder.forward_full,
+        # ctl_model/encoder.py:77-108 — bypasses static/dynamic chunking)
         enc_full, mask_full = self.encoder(feats, feats_lengths,
-                                           decoding_chunk_size=-1,
-                                           train=train)
+                                           train=train,
+                                           full_context=True)
         loss_full = self._joint_loss(enc_full, mask_full, target,
                                      target_lengths, train)
         # chunk-masked pass

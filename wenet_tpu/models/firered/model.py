@@ -161,6 +161,8 @@ class FireRedConformerEncoder(BaseEncoder):
     causal: bool = False
     cnn_module_norm: str = 'batch_norm'
     conv_bias: bool = True
+    conv_norm_eps: float = 1e-5
+    conv_inner_factor: int = 2
     odim_conv: int = 32
 
     @property
@@ -193,6 +195,8 @@ class FireRedConformerEncoder(BaseEncoder):
                 causal=self.causal,
                 cnn_module_norm=self.cnn_module_norm,
                 conv_bias=self.conv_bias,
+                conv_norm_eps=self.conv_norm_eps,
+                conv_inner_factor=self.conv_inner_factor,
             ) for _ in range(self.num_blocks)
         ]
 

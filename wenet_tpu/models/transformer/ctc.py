@@ -47,8 +47,17 @@ class CTC(nn.Module):
         per_seq = optax.ctc_loss(logits.astype(jnp.float32), logit_paddings,
                                  labels, label_paddings,
                                  blank_id=self.blank_id)
-        # zero_infinity=True analog: drop infeasible (T < U) sequences
-        per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
+        # zero_infinity=True analog (ref ctc.py:48): torch zeroes the
+        # loss of infeasible sequences (T < U + adjacent-repeat count).
+        # optax doesn't return inf for those — it clamps the alpha
+        # recursion at log_epsilon=-1e5 and returns a huge finite value
+        # — so feasibility must be tested explicitly.
+        same = (labels[:, 1:] == labels[:, :-1]) & \
+            (label_paddings[:, 1:] == 0)
+        repeats = jnp.sum(same, axis=1)
+        feasible = hlens >= ys_lens + repeats
+        per_seq = jnp.where(feasible & jnp.isfinite(per_seq), per_seq,
+                            0.0)
         if row_valid is not None:
             per_seq = jnp.where(row_valid, per_seq, 0.0)
             denom = jnp.maximum(jnp.sum(row_valid), 1)

@@ -23,6 +23,18 @@ from wenet_tpu.utils.mask import make_pad_mask, subsequent_mask
 DecodeState = Tuple[List[T_CACHE], List[Optional[T_CACHE]]]
 
 
+class _OutputBias(nn.Module):
+    """Bias of a weight-tied output projection (torch key
+    `output_layer.bias`; the tied Linear's weight is the embedding)."""
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, logits):
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.vocab_size,))
+        return logits + bias.astype(logits.dtype)
+
+
 class TransformerDecoder(nn.Module):
     vocab_size: int
     encoder_output_size: int
@@ -76,6 +88,13 @@ class TransformerDecoder(nn.Module):
         if self.use_output_layer and not self.tie_word_embedding:
             self.output_layer = nn.Dense(self.vocab_size,
                                          name='output_layer')
+        elif self.use_output_layer:
+            # tied embedding shares the WEIGHT only — the reference's
+            # output_layer keeps its own bias (decoder.py:111 +
+            # tie_or_clone_weights, asr_model.py); firered checkpoints
+            # carry a trained bias, whisper ones leave it at zero
+            self.output_layer = _OutputBias(vocab_size=self.vocab_size,
+                                            name='output_layer')
         layer_cls = DecoderLayer
         if self.gradient_checkpointing:
             layer_cls = nn.remat(layer_cls, static_argnums=(5,))
@@ -118,7 +137,7 @@ class TransformerDecoder(nn.Module):
         if not self.use_output_layer:
             return x
         if self.tie_word_embedding:
-            return self.embed_tokens.attend(x)
+            return self.output_layer(self.embed_tokens.attend(x))
         return self.output_layer(x)
 
     # ------------------------------------------------------------------

@@ -134,9 +134,15 @@ class BaseEncoder(nn.Module):
                  decoding_chunk_size: int = 0,
                  num_decoding_left_chunks: int = -1,
                  train: bool = False,
-                 chunk_rng: Optional[jax.Array] = None
+                 chunk_rng: Optional[jax.Array] = None,
+                 full_context: bool = False
                  ) -> Tuple[jax.Array, jax.Array]:
         """Full (padded-batch) forward. ref: encoder.py:122-181.
+
+        `full_context=True` bypasses dynamic/static chunk masking — the
+        analog of the reference Dual*Encoder.forward_full
+        (ctl_model/encoder.py:77-108), which is the only reference path
+        that ignores static_chunk_size.
 
         Returns (xs (B, T', D), masks (B, 1, T'))."""
         T = xs.shape[1]
@@ -146,12 +152,16 @@ class BaseEncoder(nn.Module):
         xs, pos_emb, masks = self.embed(xs, masks,
                                         deterministic=not train)
         mask_pad = masks
-        chunk_masks = add_optional_chunk_mask(
-            masks, self.use_dynamic_chunk, self.use_dynamic_left_chunk,
-            decoding_chunk_size, self.static_chunk_size,
-            num_decoding_left_chunks,
-            max_chunk_size=int(100.0 / self.embed.subsampling_rate),
-            rng=chunk_rng)
+        if full_context:
+            chunk_masks = masks * jnp.swapaxes(masks, 1, 2)
+        else:
+            chunk_masks = add_optional_chunk_mask(
+                masks, self.use_dynamic_chunk,
+                self.use_dynamic_left_chunk,
+                decoding_chunk_size, self.static_chunk_size,
+                num_decoding_left_chunks,
+                max_chunk_size=int(100.0 / self.embed.subsampling_rate),
+                rng=chunk_rng)
         for layer in self.encoders:
             # full positional call so nn.remat's static_argnums can pin
             # `train` (kwargs don't reach jax.checkpoint statics)

@@ -26,7 +26,8 @@ logger = logging.getLogger(__name__)
 # flax path -> torch key mapping
 # ---------------------------------------------------------------------------
 _LIST_SEG = re.compile(
-    r'^(encoders0|encoders|decoders3|decoders|interctc|blocks)_(\d+)$')
+    r'^(encoders0|tp_encoders|encoders|decoders3|decoders|interctc|'
+    r'blocks)_(\d+)$')
 _CONV_SEG = re.compile(r'^conv_(\d+)$')
 
 
@@ -49,6 +50,11 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> Optional[str]:
             continue
         if seg == 'out' and out and out[-1] == 'embed':
             out += ['out', '0']
+            continue
+        if seg in ('input_proj', 'channel_proj1'):
+            # torch wraps these in Sequential(Linear, act) — squeezeformer
+            # subsampling.py:64, branchformer cgmlp.py:149
+            out += [seg, '0']
             continue
         if seg == 'norm' and out and out[-1] == 'embed':
             out += ['out', '1']  # LinearNoSubsampling LayerNorm
@@ -78,7 +84,7 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> Optional[str]:
 
 
 def _to_flax_leaf(torch_arr: np.ndarray, target: np.ndarray,
-                  leaf_name: str) -> np.ndarray:
+                  leaf_name: str, tkey: str = '') -> np.ndarray:
     """Layout conversion torch -> flax for one tensor."""
     a = np.asarray(torch_arr)
     if leaf_name == 'kernel':
@@ -87,9 +93,16 @@ def _to_flax_leaf(torch_arr: np.ndarray, target: np.ndarray,
         elif a.ndim == 3 and target.ndim == 2:
             a = a[:, :, 0].T  # pointwise Conv1d -> Dense
         elif a.ndim == 3 and target.ndim == 3:
-            t = a.transpose(2, 1, 0)  # Conv1d (O,I,K) -> (K,I,O)
-            if t.shape != target.shape:
-                t = a.transpose(2, 0, 1)  # ConvTranspose1d (I,O,K)
+            if 'tp_upsample_cnn' in tkey:
+                # torch ConvTranspose1d (I,O,K): flax ConvTranspose
+                # computes a fractionally-strided *correlation*, torch
+                # the gradient-of-conv — so flip the kernel axis
+                # (shape-based detection can't see this when I == O)
+                t = a.transpose(2, 0, 1)[::-1]  # -> (K,I,O) flipped
+            else:
+                t = a.transpose(2, 1, 0)  # Conv1d (O,I,K) -> (K,I,O)
+                if t.shape != target.shape:
+                    t = a.transpose(2, 0, 1)[::-1]  # ConvTranspose1d
             a = t
         elif a.ndim == 4 and target.ndim == 4:
             a = a.transpose(2, 3, 1, 0)  # Conv2d OIHW -> HWIO
@@ -117,7 +130,7 @@ def convert_torch_state_dict(state_dict: Dict[str, Any],
             if hasattr(arr, 'numpy'):
                 arr = arr.detach().cpu().numpy()
             new_leaves.append(_to_flax_leaf(arr, np.asarray(leaf),
-                                            path[-1]))
+                                            path[-1], tkey))
             used.add(tkey)
         else:
             missing.append('.'.join(path) + (f' (-> {tkey})' if tkey
@@ -226,7 +239,10 @@ def _to_torch_leaf(flax_arr: np.ndarray, leaf_name: str,
             if 'pointwise_conv' in tkey:
                 a = a[:, :, None]  # Dense -> pointwise Conv1d (O,I,1)
         elif a.ndim == 3:
-            a = a.transpose(2, 1, 0)  # (K,I,O) -> Conv1d (O,I,K)
+            if 'tp_upsample_cnn' in tkey:
+                a = a[::-1].transpose(1, 2, 0)  # -> ConvTranspose1d (I,O,K)
+            else:
+                a = a.transpose(2, 1, 0)  # (K,I,O) -> Conv1d (O,I,K)
         elif a.ndim == 4:
             a = a.transpose(3, 2, 0, 1)  # HWIO -> Conv2d OIHW
     return a

@@ -155,6 +155,11 @@ def _init_model_inner(args, configs) -> Tuple[Any, dict]:
         decoder_type = None
 
     use_cmvn = configs.get('cmvn', None) == 'global_cmvn'
+    if model_type == 'sensevoice_small':
+        # sensevoice owns its cmvn at the MODEL level (applied after
+        # LFR, before the context tokens are prepended) — the reference
+        # moves it out of the encoder (sensevoice_small_model.py:180-182)
+        use_cmvn = False
 
     enc_cls = ENCODER_CLASSES[encoder_type]
     raw_enc_conf = dict(configs['encoder_conf'])
@@ -260,6 +265,10 @@ def init_variables(model, configs, rng: Optional[jax.Array] = None,
         if 'encoder' in cmvn and 'global_cmvn' in cmvn['encoder']:
             cmvn['encoder']['global_cmvn']['mean'] = jnp.asarray(mean)
             cmvn['encoder']['global_cmvn']['istd'] = jnp.asarray(istd)
+        elif 'global_cmvn' in cmvn:
+            # model-level cmvn (sensevoice, ref :180-182)
+            cmvn['global_cmvn']['mean'] = jnp.asarray(mean)
+            cmvn['global_cmvn']['istd'] = jnp.asarray(istd)
 
     infos = {}
     if checkpoint is not None:
