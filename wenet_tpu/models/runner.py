@@ -164,9 +164,11 @@ class AsrRunner:
     def _prefix_beam(self, ctc_probs, encoder_lens, beam_size,
                      context_graph, blank_id):
         """CTC prefix beam: device top-k (one cheap parallel kernel) +
-        the C++ incremental searcher over utterances in threads; falls
-        back to the all-device lax.scan when the native lib is missing
-        or biasing is requested.
+        the C++ incremental searcher over utterances in threads —
+        including context-graph biasing, which runs INSIDE the C++ hot
+        loop (ref runtime/core/decoder/ctc_prefix_beam_search.h:35-125);
+        falls back to the all-device lax.scan / python-biased searcher
+        only when the native lib is missing.
 
         Exactly equivalent: the reference beam only considers the
         per-frame top-k tokens (ref search.py:146), so the sparse hand-
@@ -176,7 +178,7 @@ class AsrRunner:
         (the formulation is elegant but latency-bound); the C++ beam
         runs the whole 375-frame utterance in ~2ms."""
         from wenet_tpu.runtime import native_beam
-        if context_graph is None and native_beam.available():
+        if native_beam.available():
             key = ('ctc_topk', int(beam_size))
             if key not in self._jitted:
                 # scan-over-T formulation: XLA's batched top_k scales
@@ -193,7 +195,8 @@ class AsrRunner:
             vals = vals.swapaxes(0, 1)
             ids = ids.swapaxes(0, 1)
             outs = native_beam.batch_search_topk(
-                vals, ids, lens, beam_size, blank_id)
+                vals, ids, lens, beam_size, blank_id,
+                context_graph=context_graph)
             results = []
             for hyps, times, scores in outs:
                 results.append(DecodeResult(
@@ -297,6 +300,121 @@ class AsrRunner:
                 encoder_out, encoder_lens, ctc_weight, reverse_weight,
                 infos)
         return results
+
+    # ------------------------------------------------------------------
+    def _encode_ctc_topk(self, feats, feats_lengths, beam_size: int,
+                         blank_penalty: float, blank_id: int):
+        """Encoder + CTC log-softmax + per-frame top-k as ONE program
+        (one dispatch round-trip; the rescoring pipeline only needs the
+        sparse top-k on host, never the dense (B, T, V) posteriors)."""
+        model = self.model
+        key = ('_enc_ctc_topk', int(beam_size), float(blank_penalty),
+               int(blank_id))
+        if key not in self._jitted:
+
+            def fn(variables, feats, feats_lengths):
+                v = self._maybe_dequant(variables)
+                eo, em = model.apply(v, feats, feats_lengths, -1, -1,
+                                     method=model.forward_encoder)
+                logp = model.apply(v, eo, blank_penalty, blank_id,
+                                   method=model.ctc_logprobs)
+                # scan-over-T: XLA's batched top_k degrades with the
+                # leading dim on TPU (see _prefix_beam)
+                _, topk = jax.lax.scan(
+                    lambda _, f: (0., jax.lax.top_k(f, beam_size)),
+                    0., jnp.swapaxes(logp, 0, 1))
+                lens = jnp.sum(em[:, 0, :], axis=-1)
+                return eo, lens, topk[0], topk[1]
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key](self.variables, feats, feats_lengths)
+
+    def decode_rescoring_batches(self, batches, beam_size: int = 10,
+                                 ctc_weight: float = 0.0,
+                                 reverse_weight: float = 0.0,
+                                 blank_id: int = 0,
+                                 blank_penalty: float = 0.0,
+                                 infos=None):
+        """Software-pipelined attention_rescoring over an iterable of
+        (feats, feats_lengths) batches.  Yields one List[DecodeResult]
+        per input batch, in order.
+
+        Three stages run concurrently in steady state:
+          device: encoder+CTC+top-k for batch i+1  ‖  rescoring program
+                  for batch i-1 (single in-order device queue)
+          host:   C++ trie prefix beam for batch i
+          link:   top-k / rescore fetches in a background thread (each
+                  fetch costs a full RTT through remote-TPU tunnels —
+                  overlapping it with the host beam hides it)
+
+        The sequential path (runner.decode) pays all three in series
+        per batch (ref analog: recognize.py's per-batch loop around
+        search.py:374-458).
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from wenet_tpu.models.transformer.search import (
+            attention_rescoring_dispatch, attention_rescoring_finalize)
+        from wenet_tpu.runtime import native_beam
+
+        if not native_beam.available():
+            for feats, feats_lengths in batches:
+                yield self.decode(
+                    ['attention_rescoring'], feats, feats_lengths,
+                    beam_size=beam_size, ctc_weight=ctc_weight,
+                    reverse_weight=reverse_weight, blank_id=blank_id,
+                    blank_penalty=blank_penalty,
+                    infos=infos)['attention_rescoring']
+            return
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        enc_q = deque()   # dispatched encode stages awaiting beam
+        res_q = deque()   # dispatched rescore stages awaiting finalize
+        try:
+            def advance(entry):
+                """topk fetched -> host beam -> dispatch rescore."""
+                vals, ids, lens = entry['topk'].result()
+                outs = native_beam.batch_search_topk(
+                    vals.swapaxes(0, 1), ids.swapaxes(0, 1), lens,
+                    beam_size, blank_id)
+                prefix = [DecodeResult(tokens=h[0], score=s[0],
+                                       times=t[0], nbest=h,
+                                       nbest_scores=s, nbest_times=t)
+                          for h, t, s in outs]
+                dev = attention_rescoring_dispatch(
+                    self.model, self._variables_fp(), prefix,
+                    entry['eo'], entry['lens_d'], ctc_weight,
+                    reverse_weight, infos)
+                res_q.append({'prefix': prefix,
+                              'out': ex.submit(jax.device_get, dev)})
+
+            for feats, feats_lengths in batches:
+                feats = jnp.asarray(feats)
+                feats_lengths = jnp.asarray(feats_lengths)
+                eo, lens_d, vals, ids = self._encode_ctc_topk(
+                    feats, feats_lengths, beam_size, blank_penalty,
+                    blank_id)
+                enc_q.append({
+                    'eo': eo, 'lens_d': lens_d,
+                    'topk': ex.submit(jax.device_get,
+                                      (vals, ids, lens_d)),
+                })
+                # keep at most one batch in each in-flight stage
+                while len(enc_q) > 1:
+                    advance(enc_q.popleft())
+                while len(res_q) > 1:
+                    e = res_q.popleft()
+                    yield attention_rescoring_finalize(
+                        e['prefix'], e['out'].result())
+            while enc_q:
+                advance(enc_q.popleft())
+            while res_q:
+                e = res_q.popleft()
+                yield attention_rescoring_finalize(e['prefix'],
+                                                   e['out'].result())
+        finally:
+            ex.shutdown(wait=False)
 
     # ------------------------------------------------------------------
     def decode_wav(self, methods, wav, wav_lengths, sample_rate=16000,

@@ -618,6 +618,27 @@ def attention_rescoring(
     """ref: search.py:374-458, as one padded (B, nbest) jitted program
     per (nbest, length-bucket) shape instead of a per-utterance host
     loop (VERDICT.md round-1 weakness #2)."""
+    out = attention_rescoring_dispatch(model, variables,
+                                       ctc_prefix_results, encoder_outs,
+                                       encoder_lens, ctc_weight,
+                                       reverse_weight, infos)
+    return attention_rescoring_finalize(ctc_prefix_results,
+                                        jax.device_get(out))
+
+
+def attention_rescoring_dispatch(
+    model,
+    variables,
+    ctc_prefix_results: List[DecodeResult],
+    encoder_outs: jax.Array,
+    encoder_lens: jax.Array,
+    ctc_weight: float = 0.0,
+    reverse_weight: float = 0.0,
+    infos: Optional[Dict[str, List[str]]] = None,
+):
+    """Upload the padded nbest + launch the rescoring program; returns
+    the device output triple WITHOUT fetching — callers pipeline the
+    fetch against other work (runner.decode_rescoring_batches)."""
     eos = model.eos
     B = encoder_outs.shape[0]
     N = max(len(r.nbest) for r in ctc_prefix_results)
@@ -646,9 +667,14 @@ def attention_rescoring(
     # single batched upload / download — per-array transfers cost one
     # tunnel RTT each on remote-TPU setups
     hp_d, hl_d, cs_d = jax.device_put((hyps_pad, hyps_lens, ctc_scores))
-    fused, confidence, tc = jax.device_get(_RESCORE_CACHE[key](
-        variables, encoder_outs, encoder_lens, hp_d, hl_d, cs_d))
+    return _RESCORE_CACHE[key](variables, encoder_outs, encoder_lens,
+                               hp_d, hl_d, cs_d)
 
+
+def attention_rescoring_finalize(ctc_prefix_results,
+                                 fetched) -> List[DecodeResult]:
+    """Winner selection from the host-fetched rescoring outputs."""
+    fused, confidence, tc = fetched
     results = []
     for b, r in enumerate(ctc_prefix_results):
         best = int(np.argmax(fused[b, :len(r.nbest)]))

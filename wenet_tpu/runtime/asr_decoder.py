@@ -100,20 +100,19 @@ class AsrDecoder:
                 fst_obj, fst_path=fst_path, word_table=word_table,
                 beam_size=self.opts.beam_size,
                 blank_id=self.opts.blank_id)
-        elif lm is not None:
-            from wenet_tpu.runtime.ctc_prefix_beam_search import (
-                CtcPrefixBeamSearch)
-            self.searcher = CtcPrefixBeamSearch(
+        else:
+            # context biasing and ARPA shallow fusion both run INSIDE
+            # the C++ beam (ref integrates biasing the same way,
+            # runtime/core/decoder/ctc_prefix_beam_search.h:35-125);
+            # make_searcher falls back to python when the lib is absent
+            from wenet_tpu.runtime.native_beam import make_searcher
+            self.searcher = make_searcher(
                 self.opts.beam_size, blank_id=self.opts.blank_id,
                 context_graph=context_graph, lm=lm, lm_weight=lm_weight,
                 symbol_table={v: k
                               for k, v in tokenizer.symbol_table.items()}
-                if hasattr(tokenizer, 'symbol_table') else None)
-        else:
-            from wenet_tpu.runtime.native_beam import make_searcher
-            self.searcher = make_searcher(
-                self.opts.beam_size, blank_id=self.opts.blank_id,
-                context_graph=context_graph)
+                if lm is not None and hasattr(tokenizer,
+                                              'symbol_table') else None)
         self.is_wfst = tlg_fst is not None
         self._jitted = {}
         self.reset()

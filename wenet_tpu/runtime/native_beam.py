@@ -29,8 +29,9 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    if not hasattr(lib, 'ctc_beam_search_topk'):
-        # stale .so from before the sparse entry existed: rebuild once
+    if not hasattr(lib, 'ctc_beam_set_context'):
+        # stale .so from before sparse/biasing entries existed:
+        # rebuild once
         try:
             subprocess.run(['make', '-C', _LIB_DIR, '-B',
                             'libctc_beam.so'],
@@ -38,7 +39,7 @@ def _load():
             lib = ctypes.CDLL(_LIB_PATH)
         except Exception:  # noqa: BLE001
             pass
-        if not hasattr(lib, 'ctc_beam_search_topk'):
+        if not hasattr(lib, 'ctc_beam_set_context'):
             return None
     lib.ctc_beam_create.restype = ctypes.c_void_p
     lib.ctc_beam_create.argtypes = [ctypes.c_int, ctypes.c_int]
@@ -51,6 +52,28 @@ def _load():
         lib.ctc_beam_search_topk.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, 'ctc_beam_set_context'):
+        lib.ctc_beam_set_context.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.ctc_lm_create.restype = ctypes.c_void_p
+        lib.ctc_lm_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int]
+        lib.ctc_lm_add_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float)]
+        lib.ctc_lm_destroy.argtypes = [ctypes.c_void_p]
+        lib.ctc_beam_attach_lm.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_float]
+        lib.ctc_beam_finalize.argtypes = [ctypes.c_void_p]
     lib.ctc_beam_num_hyps.restype = ctypes.c_int
     lib.ctc_beam_num_hyps.argtypes = [ctypes.c_void_p]
     lib.ctc_beam_hyp_len.restype = ctypes.c_int
@@ -67,17 +90,154 @@ def available() -> bool:
     return _load() is not None
 
 
-class NativeCtcPrefixBeamSearch:
-    """Drop-in replacement for runtime.ctc_prefix_beam_search (no
-    context-graph support; python fallback covers biasing)."""
+def _carr(dtype, seq):
+    a = np.ascontiguousarray(seq, dtype)
+    ptr = {np.int32: ctypes.POINTER(ctypes.c_int),
+           np.float32: ctypes.POINTER(ctypes.c_float)}[dtype]
+    return a, a.ctypes.data_as(ptr)
 
-    def __init__(self, beam_size: int = 10, blank_id: int = 0):
+
+def flatten_context_graph(graph):
+    """ContextGraph (utils/context_graph.py) -> flat arrays for the C++
+    searcher: (fail, node_score, output_score, token_score, trans)."""
+    n = graph.num_nodes + 1
+    fail = np.zeros(n, np.int32)
+    node_score = np.zeros(n, np.float32)
+    output_score = np.zeros(n, np.float32)
+    token_score = np.zeros(n, np.float32)
+    trans = []
+    stack = [graph.root]
+    seen = set()
+    while stack:
+        node = stack.pop()
+        if node.id in seen:
+            continue
+        seen.add(node.id)
+        fail[node.id] = node.fail.id if node.fail is not None else 0
+        node_score[node.id] = node.node_score
+        output_score[node.id] = node.output_score
+        token_score[node.id] = node.token_score
+        for tok, child in node.next.items():
+            trans.append((node.id, tok, child.id))
+            stack.append(child)
+    trans = np.asarray(trans or np.zeros((0, 3)), np.int32)
+    return fail, node_score, output_score, token_score, trans
+
+
+def _flatten_lm(lm, symbol_table, vocab_size):
+    """NgramLM (lm/arpa.py) -> (tok2word, bos, eos, tables) with word
+    ids; tables[k] = (ids (count, k+1), logp, backoff) natural log."""
+    word2id = {}
+
+    def wid(w):
+        if w not in word2id:
+            word2id[w] = len(word2id)
+        return word2id[w]
+
+    tables = []
+    for k, grams in enumerate(lm.ngrams):
+        ids = np.zeros((len(grams), k + 1), np.int32)
+        logp = np.zeros(len(grams), np.float32)
+        backoff = np.zeros(len(grams), np.float32)
+        for e, (words, (lp, bo)) in enumerate(grams.items()):
+            for j, w in enumerate(words):
+                ids[e, j] = wid(w)
+            logp[e] = lp
+            backoff[e] = bo
+        tables.append((ids, logp, backoff))
+    unk = word2id.get('<unk>', -1)
+    symbol_table = symbol_table or {}
+    tok2word = np.full(vocab_size, unk, np.int32)
+    for t in range(vocab_size):
+        sym = symbol_table.get(t, str(t))
+        if sym in lm.vocab:
+            tok2word[t] = word2id[sym]
+    bos = word2id.get('<s>', -9)   # -9: matches nothing, backs off
+    eos = word2id.get('</s>', unk)
+    return tok2word, bos, eos, tables
+
+
+class NativeLm:
+    """Shared flattened ARPA LM living in C++; built ONCE per
+    (NgramLM, symbol_table) and attached to any number of searchers
+    (read-only scoring, thread-safe)."""
+
+    _cache = {}
+
+    def __init__(self, lm, symbol_table=None, vocab_size=0):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        if not vocab_size:
+            vocab_size = (max(symbol_table) + 1) if symbol_table else \
+                65536
+        tok2word, bos, eos, tables = _flatten_lm(lm, symbol_table,
+                                                 vocab_size)
+        t2w_a, p_t2w = _carr(np.int32, tok2word)
+        self.handle = lib.ctc_lm_create(lm.order, len(tok2word), p_t2w,
+                                        bos, eos)
+        for k, (ids, logp, backoff) in enumerate(tables):
+            i_a, p_i = _carr(np.int32, ids)
+            l_a, p_l = _carr(np.float32, logp)
+            b_a, p_b = _carr(np.float32, backoff)
+            lib.ctc_lm_add_table(self.handle, k + 1, ids.shape[0],
+                                 p_i, p_l, p_b)
+
+    def __del__(self):
+        if getattr(self, 'handle', None):
+            self._lib.ctc_lm_destroy(self.handle)
+            self.handle = None
+
+    @classmethod
+    def get(cls, lm, symbol_table=None, vocab_size=0):
+        key = (id(lm), id(symbol_table), int(vocab_size))
+        if key not in cls._cache:
+            cls._cache[key] = cls(lm, symbol_table, vocab_size)
+        return cls._cache[key]
+
+
+class NativeCtcPrefixBeamSearch:
+    """Drop-in replacement for runtime.ctc_prefix_beam_search, incl.
+    context-graph biasing and ARPA shallow fusion IN the C++ hot loop
+    (the reference integrates biasing the same way,
+    runtime/core/decoder/ctc_prefix_beam_search.h:35-125 +
+    context_graph.cc)."""
+
+    def __init__(self, beam_size: int = 10, blank_id: int = 0,
+                 context_graph=None, lm=None, lm_weight: float = 0.5,
+                 symbol_table=None, lm_vocab_size: int = 0):
         lib = _load()
         assert lib is not None, 'libctc_beam.so not available'
         self._lib = lib
         self._h = lib.ctc_beam_create(beam_size, blank_id)
         self.beam_size = beam_size
         self.blank_id = blank_id
+        self._cache = None
+        if context_graph is not None:
+            self.set_context_graph(context_graph)
+        if lm is not None:
+            self.set_lm(lm, lm_weight, symbol_table, lm_vocab_size)
+
+    def set_context_graph(self, graph):
+        fail, ns, os_, ts, trans = flatten_context_graph(graph)
+        _, p_fail = _carr(np.int32, fail)
+        _, p_ns = _carr(np.float32, ns)
+        _, p_os = _carr(np.float32, os_)
+        _, p_ts = _carr(np.float32, ts)
+        tf, p_tf = _carr(np.int32, trans[:, 0] if len(trans) else [])
+        tt, p_tt = _carr(np.int32, trans[:, 1] if len(trans) else [])
+        tc, p_tc = _carr(np.int32, trans[:, 2] if len(trans) else [])
+        self._lib.ctc_beam_set_context(
+            self._h, len(fail), p_fail, p_ns, p_os, p_ts, len(trans),
+            p_tf, p_tt, p_tc)
+        self._cache = None
+
+    def set_lm(self, lm, lm_weight=0.5, symbol_table=None,
+               vocab_size=0):
+        native = NativeLm.get(lm, symbol_table, vocab_size)
+        self._native_lm = native  # keep alive
+        self._lib.ctc_beam_attach_lm(self._h, native.handle,
+                                     ctypes.c_float(lm_weight))
         self._cache = None
 
     def __del__(self):
@@ -115,7 +275,10 @@ class NativeCtcPrefixBeamSearch:
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), T, K)
 
     def finalize_search(self):
-        pass
+        """End-of-utterance: LM </s> + context partial-match backoff
+        (python analog: ctc_prefix_beam_search.py:130-152)."""
+        self._lib.ctc_beam_finalize(self._h)
+        self._cache = None
 
     def _collect(self):
         # cached between searches: _update_result reads hypotheses/
@@ -153,7 +316,10 @@ class NativeCtcPrefixBeamSearch:
 
 def batch_search_topk(vals: np.ndarray, ids: np.ndarray,
                       lens: np.ndarray, beam_size: int,
-                      blank_id: int = 0, num_threads: int = 8):
+                      blank_id: int = 0, num_threads: int = 8,
+                      context_graph=None, lm=None,
+                      lm_weight: float = 0.5, symbol_table=None,
+                      finalize: bool = False):
     """Run the C++ beam over a batch of utterances in parallel.
 
     vals/ids: (B, T, K) per-frame top-k from the device; lens: (B,)
@@ -162,11 +328,17 @@ def batch_search_topk(vals: np.ndarray, ids: np.ndarray,
     (hyps, times, scores) triples (beam-sorted, like _collect)."""
     from concurrent.futures import ThreadPoolExecutor
     B = vals.shape[0]
+    lm_vocab = int(ids.max()) + 1 if lm is not None and ids.size else 0
 
     def one(b):
-        s = NativeCtcPrefixBeamSearch(beam_size, blank_id)
+        s = NativeCtcPrefixBeamSearch(
+            beam_size, blank_id, context_graph=context_graph, lm=lm,
+            lm_weight=lm_weight, symbol_table=symbol_table,
+            lm_vocab_size=lm_vocab)
         n = int(lens[b])
         s.search_topk(vals[b, :n], ids[b, :n])
+        if finalize or context_graph is not None or lm is not None:
+            s.finalize_search()
         return s._collect()
 
     if B == 1:
@@ -176,11 +348,17 @@ def batch_search_topk(vals: np.ndarray, ids: np.ndarray,
 
 
 def make_searcher(beam_size: int = 10, blank_id: int = 0,
-                  context_graph=None, prefer_native: bool = True):
-    """Factory: native C++ unless biasing requested or lib missing."""
-    if prefer_native and context_graph is None and available():
-        return NativeCtcPrefixBeamSearch(beam_size, blank_id)
+                  context_graph=None, lm=None, lm_weight: float = 0.5,
+                  symbol_table=None, prefer_native: bool = True):
+    """Factory: native C++ (incl. biasing/LM fusion) unless the lib is
+    missing."""
+    if prefer_native and available():
+        return NativeCtcPrefixBeamSearch(
+            beam_size, blank_id, context_graph=context_graph, lm=lm,
+            lm_weight=lm_weight, symbol_table=symbol_table)
     from wenet_tpu.runtime.ctc_prefix_beam_search import (
         CtcPrefixBeamSearch)
     return CtcPrefixBeamSearch(beam_size, context_graph=context_graph,
-                               blank_id=blank_id)
+                               blank_id=blank_id, lm=lm,
+                               lm_weight=lm_weight,
+                               symbol_table=symbol_table)

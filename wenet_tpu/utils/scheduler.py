@@ -95,6 +95,40 @@ def constant_lr(lr: float) -> Callable:
     return lambda step: jnp.asarray(lr, jnp.float32)
 
 
+def sqrt_constant(lr: float, constant_steps: int,
+                  max_steps: int, min_lr: float = 0.0) -> Callable:
+    """ref: scheduler.py:142-202 (SquareRootConstantPolicy) — an
+    ABSOLUTE 1/sqrt(constant_steps) plateau (not scaled by base lr),
+    then the base lr until max_steps, then min_lr."""
+    plateau = 1.0 / (constant_steps ** 0.5)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        return jnp.where(
+            step <= constant_steps, plateau,
+            jnp.where(step > max_steps, min_lr, lr)).astype(jnp.float32)
+
+    return schedule
+
+
+def warmup_hold(lr: float, warmup_steps: int, hold_steps: int,
+                max_steps: int, min_lr: float = 0.0) -> Callable:
+    """ref: scheduler.py:203-284 (plain WarmupHoldPolicy): linear
+    warmup (step+1)/(warmup+1), hold at base lr through
+    warmup+hold_steps, base lr until max_steps, then min_lr."""
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * (step + 1.0) / (warmup_steps + 1.0)
+        # hold phase (warmup..warmup+hold) and the post-hold plain
+        # policy both sit at the base lr, so hold_end never branches
+        out = jnp.where((step <= warmup_steps) & (warmup_steps > 0),
+                        warm,
+                        jnp.where(step > max_steps, min_lr, lr))
+        return out.astype(jnp.float32)
+
+    return schedule
+
+
 def build_schedule(scheduler: str, scheduler_conf: dict,
                    lr: float) -> Callable:
     """Build from the train.yaml `scheduler` / `scheduler_conf` keys.
@@ -128,4 +162,21 @@ def build_schedule(scheduler: str, scheduler_conf: dict,
                                 conf.get('min_lr', 0.0))
     if name == 'constantlr':
         return constant_lr(lr)
+    if name in ('sqrt_constant', 'SquareRootConstantPolicy'):
+        max_steps = conf.get('max_steps', 100000)
+        constant = conf.get('constant_steps')
+        if constant is None:
+            constant = int(conf.get('constant_ratio', 0.0) * max_steps)
+        return sqrt_constant(lr, constant, max_steps,
+                             conf.get('min_lr', 0.0))
+    if name in ('warmup_hold', 'WarmupHoldPolicy'):
+        max_steps = conf.get('max_steps', 100000)
+        warmup = conf.get('warmup_steps')
+        if warmup is None:
+            warmup = int(conf.get('warmup_ratio', 0.0) * max_steps)
+        hold = conf.get('hold_steps')
+        if hold is None:
+            hold = int(conf.get('hold_ratio', 0.0) * max_steps)
+        return warmup_hold(lr, warmup, hold, max_steps,
+                           conf.get('min_lr', 0.0))
     raise ValueError(f'unknown scheduler: {name}')
