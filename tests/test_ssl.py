@@ -96,3 +96,119 @@ def test_ssl_registry():
     }
     model, _ = init_model(None, configs)
     assert type(model).__name__ == 'BestRQModel'
+
+
+# ---------------------------------------------------------------------------
+# untranscribed-audio (wav-only) pretraining pipeline
+# (ref wenet/models/ssl/init_dataset.py:156 — no tokenizer, no txt)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope='module')
+def ssl_workdir(tmp_path_factory):
+    import json
+
+    import yaml
+
+    from wenet_tpu.dataset.audio import write_wav
+    d = tmp_path_factory.mktemp('ssl_e2e')
+    rng = np.random.RandomState(0)
+    with open(d / 'data.list', 'w') as f:
+        for i in range(8):
+            sr = 16000
+            wav = (0.2 * rng.randn(sr // 2)).astype(np.float32)
+            path = d / f'utt{i}.wav'
+            write_wav(str(path), wav, sr)
+            # wav-only entries: NO txt key
+            f.write(json.dumps({'key': f'utt{i}',
+                                'wav': str(path)}) + '\n')
+    config = {
+        'dataset': 'ssl',
+        'encoder': 'conformer',
+        'encoder_conf': {
+            'output_size': 32, 'attention_heads': 2, 'linear_units': 64,
+            'num_blocks': 2, 'cnn_module_kernel': 7,
+            'cnn_module_norm': 'layer_norm',
+        },
+        'model': 'bestrq_model',
+        'model_conf': {'num_mel_bins': 40, 'embedding_dim': 8,
+                       'num_embeddings': 16, 'num_codebooks': 1,
+                       'mask_prob': 0.05, 'mask_length': 4,
+                       'min_masks': 1},
+        'dataset_conf': {
+            'filter_conf': {'max_length': 2000, 'min_length': 0},
+            'fbank_conf': {'num_mel_bins': 40, 'dither': 0.0},
+            'batch_conf': {'batch_type': 'static', 'batch_size': 4},
+            'shuffle': False, 'list_shuffle': False, 'sort': False,
+            'spec_aug': False,
+        },
+        'grad_clip': 5.0, 'accum_grad': 1, 'max_epoch': 1,
+        'log_interval': 1,
+        'optim': 'adam', 'optim_conf': {'lr': 0.002},
+        'scheduler': 'warmuplr', 'scheduler_conf': {'warmup_steps': 4},
+    }
+    with open(d / 'train.yaml', 'w') as f:
+        yaml.dump(config, f)
+    return d
+
+
+@pytest.mark.slow
+def test_bestrq_pretrain_wav_only_e2e(ssl_workdir):
+    """bin/train.py end-to-end on a wav-only data.list (no tokenizer,
+    `dataset: ssl`) — the reference's ssl init_dataset analog."""
+    import os
+    import sys
+
+    from wenet_tpu.bin.train import main as train_main
+    d = ssl_workdir
+    model_dir = str(d / 'exp')
+    argv = ['train.py', '--config', str(d / 'train.yaml'),
+            '--train_data', str(d / 'data.list'),
+            '--cv_data', str(d / 'data.list'),
+            '--model_dir', model_dir,
+            '--tensorboard_dir', str(d / 'tb')]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        train_main()
+    finally:
+        sys.argv = old
+    assert os.path.exists(os.path.join(model_dir, 'train.yaml'))
+    assert os.path.exists(os.path.join(model_dir, 'final'))
+
+
+@pytest.mark.slow
+def test_bestrq_pretrain_loss_decreases(ssl_workdir):
+    """A few adam steps on the wav-only pipeline reduce the BEST-RQ
+    masked-prediction loss."""
+    import yaml
+
+    from wenet_tpu.dataset.dataset import Dataset
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    from wenet_tpu.utils.train_utils import (
+        create_train_state, init_optimizer_and_scheduler,
+        make_train_step)
+    d = ssl_workdir
+    configs = yaml.safe_load(open(d / 'train.yaml'))
+    configs['input_dim'] = 40
+    configs['output_dim'] = 1
+    ds = Dataset('raw', str(d / 'data.list'), None,
+                 configs['dataset_conf'])
+    batches = list(ds)
+    assert batches and 'txt' not in batches[0]
+    model, configs = init_model(None, configs)
+    variables, configs = init_variables(model, configs)
+    configs.setdefault('optim', 'adam')
+    configs.setdefault('optim_conf', {'lr': 0.002})
+    tx, schedule = init_optimizer_and_scheduler(configs)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, tx, schedule))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for epoch in range(10):
+        for b in batches:
+            feed = {k: jnp.asarray(v) for k, v in b.items()
+                    if k in ('feats', 'feats_lengths', 'target',
+                             'target_lengths')}
+            state, metrics = step(state, feed, key)
+            losses.append(float(metrics['loss']))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])

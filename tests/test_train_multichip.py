@@ -202,3 +202,99 @@ def test_zero2_optimizer_state_sharding():
              'target_lengths': jnp.asarray([3, 2])}
     new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics['loss']))
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('mesh_shape', [(8, 1), (4, 2), (2, 4)])
+def test_mesh_sweep_zero2_checkpoint_resume(mesh_shape, tmp_path):
+    """Sweep dp x tp meshes with zero2 optimizer-moment sharding AND a
+    sharded-checkpoint save -> restore -> continue round trip: the
+    resumed trajectory must match continuing without the round trip
+    bit-for-bit (VERDICT r2 item 6)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wenet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                         replicated, state_shardings)
+    from wenet_tpu.utils.checkpoint import (load_checkpoint,
+                                            save_checkpoint)
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    from wenet_tpu.utils.train_utils import (
+        create_train_state, init_optimizer_and_scheduler,
+        make_train_step, restore_optimizer_step)
+    dp, tp = mesh_shape
+    configs = {
+        'input_dim': 40, 'output_dim': 12,
+        'encoder': 'conformer',
+        'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                         'linear_units': 128, 'num_blocks': 2,
+                         'cnn_module_kernel': 7,
+                         'cnn_module_norm': 'layer_norm'},
+        'decoder': 'transformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 128,
+                         'num_blocks': 1},
+        'model_conf': {'ctc_weight': 0.3, 'lsm_weight': 0.1},
+        'optim': 'adam', 'optim_conf': {'lr': 1e-3},
+        'scheduler': 'warmuplr', 'scheduler_conf': {'warmup_steps': 5},
+        'grad_clip': 5.0,
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    mesh = make_mesh({'data': dp, 'model': tp})
+    tx, schedule = init_optimizer_and_scheduler(configs)
+    state = create_train_state(variables, tx)
+    sh = state_shardings(state, mesh, shard_model_axis=tp > 1,
+                         min_dim=64, zero2=True)
+    state = jax.device_put(state, sh)
+    b_sh = batch_sharding(mesh)
+    step = jax.jit(make_train_step(model, tx, schedule),
+                   in_shardings=(sh, b_sh, replicated(mesh)),
+                   out_shardings=(sh, None))
+    rng = np.random.RandomState(dp)
+    B = dp * 2
+    batch = {
+        'feats': jnp.asarray(rng.randn(B, 32, 40), jnp.float32),
+        'feats_lengths': jnp.full((B,), 32, jnp.int32),
+        'target': jnp.asarray(
+            rng.randint(1, 10, size=(B, 4)), jnp.int32),
+        'target_lengths': jnp.full((B,), 4, jnp.int32),
+    }
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, b_sh), batch)
+    key = jax.device_put(jax.random.PRNGKey(0), replicated(mesh))
+    for _ in range(2):
+        state, metrics = step(state, batch, key)
+    assert np.isfinite(float(metrics['loss']))
+
+    # save the SHARDED state, then restore into a fresh sharded state
+    ckpt = str(tmp_path / f'ckpt_{dp}x{tp}')
+    save_checkpoint({'params': jax.device_get(state.params),
+                     'opt_state': jax.device_get(state.opt_state)},
+                    ckpt, infos={'step': int(state.step)})
+    ref_state, ref_m = step(state, batch, key)  # continue WITHOUT resume
+
+    state2 = create_train_state(variables, tx)
+    restored, infos = load_checkpoint(
+        model, {'params': jax.device_get(state2.params),
+                'opt_state': jax.device_get(state2.opt_state)}, ckpt)
+    # orbax round-trips tuples as lists: graft the restored leaves back
+    # onto the live opt_state treedef
+    treedef = jax.tree_util.tree_structure(state2.opt_state)
+    leaves = jax.tree_util.tree_leaves(restored['opt_state'])
+    state2 = state2.replace(
+        params=restored['params'],
+        opt_state=jax.tree_util.tree_unflatten(treedef, leaves))
+    state2 = restore_optimizer_step(state2, infos['step'])
+    state2 = jax.device_put(state2, sh)
+    res_state, res_m = step(state2, batch, key)  # continue AFTER resume
+    assert abs(float(ref_m['loss']) - float(res_m['loss'])) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(ref_state.params[
+            'encoder']['encoders_0']['self_attn']['linear_q']['kernel'])),
+        np.asarray(jax.device_get(res_state.params[
+            'encoder']['encoders_0']['self_attn']['linear_q']['kernel'])),
+        atol=1e-6)
+    assert int(res_state.step) == int(ref_state.step)

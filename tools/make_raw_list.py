@@ -8,10 +8,18 @@ import json
 def main():
     parser = argparse.ArgumentParser(description='make raw list')
     parser.add_argument('--segments', default=None)
+    parser.add_argument('--wav_only', action='store_true',
+                        help='untranscribed-audio mode (ssl '
+                             'pretraining): args are wav.scp and '
+                             'output_file; entries carry no txt')
     parser.add_argument('wav_file')
     parser.add_argument('text_file')
-    parser.add_argument('output_file')
+    parser.add_argument('output_file', nargs='?')
     args = parser.parse_args()
+    if args.wav_only and args.output_file is None:
+        # wav_only: (wav.scp, data.list) two-arg form
+        args.output_file = args.text_file
+        args.text_file = None
 
     wav_table = {}
     with open(args.wav_file, encoding='utf8') as f:
@@ -29,6 +37,12 @@ def main():
                 segments.append((arr[0], arr[1], float(arr[2]),
                                  float(arr[3])))
 
+    if args.wav_only:
+        with open(args.output_file, 'w', encoding='utf8') as fout:
+            for key, wav in wav_table.items():
+                fout.write(json.dumps({'key': key, 'wav': wav},
+                                      ensure_ascii=False) + '\n')
+        return
     with open(args.text_file, encoding='utf8') as fin, \
             open(args.output_file, 'w', encoding='utf8') as fout:
         texts = {}

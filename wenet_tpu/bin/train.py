@@ -66,7 +66,13 @@ def main():
     configs = load_config(args.config, args.override_config)
     configs['seed'] = args.seed
 
-    tokenizer = init_tokenizer(configs)
+    # `dataset: ssl` = untranscribed-audio pretraining (BEST-RQ/
+    # wav2vec2/w2vbert): no tokenizer, wav-only data.list entries
+    # (ref wenet/utils/init_dataset.py:16-23 +
+    # wenet/models/ssl/init_dataset.py:156)
+    dataset_type = configs.get('dataset', 'asr')
+    tokenizer = None if dataset_type == 'ssl' else \
+        init_tokenizer(configs)
     configs['input_dim'] = configs['dataset_conf'].get(
         'fbank_conf', configs['dataset_conf'].get(
             'mfcc_conf', configs['dataset_conf'].get(
@@ -77,7 +83,10 @@ def main():
         # (mel * lfr_m), matching check_modify_and_save_config in the
         # reference (ref train_utils.py:289-296)
         configs['input_dim'] *= configs['lfr_conf'].get('lfr_m', 7)
-    configs['output_dim'] = tokenizer.vocab_size()
+    if tokenizer is not None:
+        configs['output_dim'] = tokenizer.vocab_size()
+    else:
+        configs.setdefault('output_dim', 1)  # SSL heads don't use it
 
     # multi-host: initialize the jax distributed runtime when launched
     # with coordinator env (replaces torchrun env://,

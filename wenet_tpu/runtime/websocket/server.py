@@ -63,7 +63,11 @@ class ConnectionHandler:
 
     async def on_speech_data(self, data: bytes):
         assert self.decoder is not None, 'no start signal received'
+        if len(data) % 2:  # partial int16 frame: drop the dangling byte
+            data = data[:-1]
         pcm = np.frombuffer(data, '<i2')
+        if pcm.size == 0:
+            return True
         loop = asyncio.get_running_loop()
         self.decoder.accept_waveform(pcm)
         state = await loop.run_in_executor(None, self.decoder.decode)
@@ -98,18 +102,39 @@ class ConnectionHandler:
         await self.send({'status': 'ok', 'type': 'speech_end'})
 
     async def run(self):
+        """Per-connection loop.  Malformed frames answer with a
+        `failed` status and keep the CONNECTION alive; unexpected
+        errors tear down only this connection — sibling sessions and
+        the accept loop are unaffected (the reference's per-connection
+        decode thread behaves the same, websocket_server.cc:42-118)."""
         try:
             async for message in self.ws:
                 if isinstance(message, (bytes, bytearray)):
+                    if self.decoder is None:
+                        await self.send({
+                            'status': 'failed',
+                            'message': 'binary frame before start'})
+                        continue
                     keep = await self.on_speech_data(bytes(message))
                     if not keep:
                         break
                 else:
-                    msg = json.loads(message)
-                    signal = msg.get('signal')
+                    try:
+                        msg = json.loads(message)
+                    except (ValueError, TypeError):
+                        await self.send({'status': 'failed',
+                                         'message': 'malformed json'})
+                        continue
+                    signal = (msg.get('signal')
+                              if isinstance(msg, dict) else None)
                     if signal == 'start':
                         await self.on_speech_start(msg)
                     elif signal == 'end':
+                        if self.decoder is None:
+                            await self.send({
+                                'status': 'failed',
+                                'message': 'end before start'})
+                            continue
                         await self.on_speech_end()
                         break
                     else:

@@ -180,8 +180,12 @@ def load_checkpoint(model, variables, path: str):
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
         restored = ckptr.restore(os.path.abspath(path))
-        variables = jax.tree_util.tree_map(
-            lambda tgt, new: np.asarray(new), variables, restored)
+        # orbax round-trips tuples as lists — graft the restored leaves
+        # onto the LIVE tree structure (optax opt_states are tuples)
+        treedef = jax.tree_util.tree_structure(variables)
+        leaves = jax.tree_util.tree_leaves(restored)
+        variables = jax.tree_util.tree_unflatten(
+            treedef, [np.asarray(leaf) for leaf in leaves])
         info_path = os.path.join(path, 'infos.yaml')
         if not os.path.exists(info_path):
             info_path = path.rstrip('/') + '.yaml'
