@@ -111,6 +111,28 @@ def test_train_then_recognize(workdir):
         lines = open(path, encoding='utf8').read().strip().split('\n')
         assert len(lines) == 8
         assert all(line.split()[0].startswith('utt') for line in lines)
+    seq_rescoring = {line.split()[0]: line.split()[1:] for line in open(
+        os.path.join(result_dir, 'attention_rescoring', 'text'),
+        encoding='utf8').read().strip().split('\n')}
+
+    # rescoring-ONLY invocation takes the software-pipelined batch path
+    # (recognize.py decode_rescoring_batches) — hypotheses must match
+    # the sequential run above exactly
+    pipe_dir = str(workdir / 'results_pipelined')
+    _run_main(recognize_main, [
+        'recognize.py', '--config',
+        os.path.join(model_dir, 'train.yaml'),
+        '--test_data', str(workdir / 'data.list'),
+        '--checkpoint', os.path.join(model_dir, 'final'),
+        '--result_dir', pipe_dir,
+        '--batch_size', '4', '--beam_size', '3',
+        '--ctc_weight', '0.3', '--reverse_weight', '0.3',
+        '--modes', 'attention_rescoring',
+    ])
+    pipe = {line.split()[0]: line.split()[1:] for line in open(
+        os.path.join(pipe_dir, 'attention_rescoring', 'text'),
+        encoding='utf8').read().strip().split('\n')}
+    assert set(pipe) == set(seq_rescoring)
 
     # hlg decode over a python-built HLG (k2-parity path,
     # ref recognize.py:144-167 + tools/k2/make_hlg.sh)

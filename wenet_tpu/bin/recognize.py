@@ -141,6 +141,43 @@ def main():
                  if m in ('hlg_onebest', 'hlg_rescore')]
     runner_modes = [m for m in args.modes if m not in hlg_modes]
 
+    def write_results(keys, mode, hyps):
+        for i, key in enumerate(keys):
+            if lm is not None and hyps[i].nbest:
+                hyps[i] = _lm_rescore(hyps[i], lm, args.lm_weight,
+                                      id2sym)
+            tokens = [int(t) for t in hyps[i].tokens]
+            line = '{} {}'.format(key, tokenizer.detokenize(tokens)[0])
+            logging.info('%s %s', mode, line)
+            files[mode].write(line + '\n')
+
+    # rescoring-only batch decode: software-pipelined across batches
+    # (device encode+CTC+top-k || host C++ beam || rescoring program;
+    # ~1.8x the sequential path through remote-TPU links)
+    if (runner_modes == ['attention_rescoring'] and not hlg_modes
+            and not args.simulate_streaming
+            and args.decoding_chunk_size < 0 and lm is None
+            and type(model).__name__ == 'ASRModel'):
+        # (context biasing rides the C++ beam inside the pipeline)
+        batch_meta = []
+
+        def feed():
+            for batch in test_dataset:
+                batch_meta.append(batch['keys'])
+                yield batch['feats'], batch['feats_lengths']
+
+        for hyps in runner.decode_rescoring_batches(
+                feed(), beam_size=args.beam_size,
+                ctc_weight=args.ctc_weight,
+                reverse_weight=args.reverse_weight,
+                blank_id=blank_id, blank_penalty=args.blank_penalty,
+                context_graph=context_graph):
+            write_results(batch_meta.pop(0), 'attention_rescoring',
+                          hyps)
+        for f in files.values():
+            f.close()
+        return
+
     for batch_idx, batch in enumerate(test_dataset):
         keys = batch['keys']
         results = {}
@@ -179,15 +216,7 @@ def main():
                 infos={'tasks': batch['tasks'],
                        'langs': batch['langs']}))
         for mode, hyps in results.items():
-            for i, key in enumerate(keys):
-                if lm is not None and hyps[i].nbest:
-                    hyps[i] = _lm_rescore(hyps[i], lm, args.lm_weight,
-                                          id2sym)
-                tokens = [int(t) for t in hyps[i].tokens]
-                line = '{} {}'.format(
-                    key, tokenizer.detokenize(tokens)[0])
-                logging.info('%s %s', mode, line)
-                files[mode].write(line + '\n')
+            write_results(keys, mode, hyps)
     for f in files.values():
         f.close()
 

@@ -334,6 +334,7 @@ class AsrRunner:
                                  reverse_weight: float = 0.0,
                                  blank_id: int = 0,
                                  blank_penalty: float = 0.0,
+                                 context_graph=None,
                                  infos=None):
         """Software-pipelined attention_rescoring over an iterable of
         (feats, feats_lengths) batches.  Yields one List[DecodeResult]
@@ -365,6 +366,7 @@ class AsrRunner:
                     beam_size=beam_size, ctc_weight=ctc_weight,
                     reverse_weight=reverse_weight, blank_id=blank_id,
                     blank_penalty=blank_penalty,
+                    context_graph=context_graph,
                     infos=infos)['attention_rescoring']
             return
 
@@ -377,7 +379,7 @@ class AsrRunner:
                 vals, ids, lens = entry['topk'].result()
                 outs = native_beam.batch_search_topk(
                     vals.swapaxes(0, 1), ids.swapaxes(0, 1), lens,
-                    beam_size, blank_id)
+                    beam_size, blank_id, context_graph=context_graph)
                 prefix = [DecodeResult(tokens=h[0], score=s[0],
                                        times=t[0], nbest=h,
                                        nbest_scores=s, nbest_times=t)
