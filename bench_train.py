@@ -21,7 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(dtype=jnp.bfloat16, label='bf16', donate=True, iters=10):
+def main(dtype=jnp.bfloat16, label='bf16', donate=True, iters=10,
+         prng_impl='unsafe_rbg'):
+    # threefry bit-generation costs ~45% of the step on TPU (measured:
+    # 55.7 -> 30.8 ms/step); unsafe_rbg is the shipped train default
+    jax.config.update('jax_default_prng_impl', prng_impl)
     from __graft_entry__ import _flagship_config
     from wenet_tpu.utils.init_model import init_model, init_variables
     from wenet_tpu.utils.mfu import compiled_flops, mfu
@@ -96,8 +100,11 @@ if __name__ == '__main__':
     ap = argparse.ArgumentParser()
     ap.add_argument('--fp32', action='store_true')
     ap.add_argument('--no-donate', action='store_true')
+    ap.add_argument('--prng_impl', default='unsafe_rbg')
     args = ap.parse_args()
     if args.fp32:
-        main(jnp.float32, 'fp32', donate=not args.no_donate)
+        main(jnp.float32, 'fp32', donate=not args.no_donate,
+             prng_impl=args.prng_impl)
     else:
-        main(jnp.bfloat16, 'bf16', donate=not args.no_donate)
+        main(jnp.bfloat16, 'bf16', donate=not args.no_donate,
+             prng_impl=args.prng_impl)

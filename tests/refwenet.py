@@ -154,6 +154,38 @@ def _patch_grouped_attention_cache():
 
     G.forward = forward
 
+    # The efficient encoder's own forward_chunk passes the OLD
+    # tensor-style cache into the SHARED RelPositionMultiHeadedAttention
+    # too (efficient_conformer/encoder.py:404-412), which now expects
+    # the tuple T_CACHE — its streaming crashes upstream.  Adapt
+    # tensor<->tuple at that boundary as well so reference streaming
+    # can run for parity tests.
+    from wenet.models.transformer.attention import (
+        RelPositionMultiHeadedAttention as R)
+    r_orig = R.forward
+
+    def r_forward(self, query, key, value,
+                  mask=torch.ones((0, 0, 0), dtype=torch.bool),
+                  pos_emb=torch.empty(0), cache=None):
+        if cache is None:
+            cache = (torch.zeros((0, 0, 0, 0)),
+                     torch.zeros((0, 0, 0, 0)))
+        tensor_style = torch.is_tensor(cache)
+        if tensor_style:
+            if cache.size(0) > 0:
+                cache = tuple(
+                    torch.split(cache, cache.size(-1) // 2, dim=-1))
+            else:
+                cache = (torch.zeros((0, 0, 0, 0)),
+                         torch.zeros((0, 0, 0, 0)))
+        out, new_cache = r_orig(self, query, key, value, mask, pos_emb,
+                                cache)
+        if tensor_style:
+            new_cache = torch.cat(new_cache, dim=-1)
+        return out, new_cache
+
+    R.forward = r_forward
+
 
 @functools.lru_cache(maxsize=1)
 def load():

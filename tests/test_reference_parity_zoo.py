@@ -774,3 +774,50 @@ def test_bestrq_parity():
     assert_losses_match(tout, jout, ('loss', 'th_accuracy'))
     assert_close('features_l2', tout['features_l2'], jout['features_l2'])
     assert_close('num_codes', tout['num_codes'], jout['num_codes'])
+
+
+@pytest.mark.slow
+def test_efficient_conformer_streaming_parity():
+    """Our fixed-shape progressive-downsampling streaming (base-
+    resolution caches, repeat_interleave re-expansion) vs the
+    reference's own forward_chunk_by_chunk (ref efficient_conformer/
+    encoder.py:297-530; its shared-attention tensor-cache crash is
+    shimmed in refwenet.py so the otherwise-untouched math can run)."""
+    from wenet_tpu.models.transformer.streaming import (
+        StreamingConfig, forward_chunk_by_chunk)
+    cfg = {'input_dim': IDIM, 'output_dim': VOCAB,
+           'encoder': 'efficientConformer',
+           'encoder_conf': {
+               'output_size': 32, 'attention_heads': 2,
+               'linear_units': 64, 'num_blocks': 4,
+               'cnn_module_kernel': 7, 'causal': True,
+               'use_dynamic_chunk': True,
+               'dropout_rate': 0.0, 'positional_dropout_rate': 0.0,
+               'attention_dropout_rate': 0.0,
+               'efficient_conf': {'stride_layer_idx': [1],
+                                  'stride': [2],
+                                  'group_layer_idx': [0, 1],
+                                  'group_size': 2}},
+           'decoder': 'transformer', 'decoder_conf': dict(DEC_CONF),
+           'model': 'asr_model', 'model_conf': dict(MODEL_CONF)}
+    tmodel, jmodel, variables = make_pair(cfg, seed=3)
+    rng = np.random.RandomState(1)
+    T = 128
+    feats = rng.randn(1, T, IDIM).astype(np.float32)
+    with torch.no_grad():
+        ref_ys, _ = tmodel.encoder.forward_chunk_by_chunk(
+            torch.tensor(feats), decoding_chunk_size=4,
+            num_decoding_left_chunks=2)
+    ref_ys = ref_ys.numpy()
+    enc = jmodel.encoder
+    scfg = StreamingConfig(decoding_chunk_size=4,
+                           num_decoding_left_chunks=2,
+                           subsampling_rate=enc.subsampling_rate,
+                           right_context=enc.right_context)
+    ys, _ = forward_chunk_by_chunk(jmodel, variables,
+                                   jnp.asarray(feats), scfg)
+    ys = np.asarray(ys)
+    n = min(ys.shape[1], ref_ys.shape[1])
+    assert n >= 14
+    np.testing.assert_allclose(ys[:, :n], ref_ys[:, :n], atol=3e-4,
+                               rtol=3e-4)

@@ -80,3 +80,35 @@ def test_transformer_streaming_matches_full():
                              dropout_rate=0.0)
     full, stream = _run(enc)
     np.testing.assert_allclose(full, stream, atol=1e-4, rtol=1e-4)
+
+
+def test_efficient_conformer_streaming_matches_full():
+    """Progressive-downsampling streaming (fixed-shape base-resolution
+    caches, ref efficient_conformer/encoder.py:297-460) must equal the
+    full forward under the same static chunk mask."""
+    from wenet_tpu.models.efficient_conformer.encoder import (
+        EfficientConformerEncoder)
+    enc = EfficientConformerEncoder(
+        input_size=IDIM, output_size=32, attention_heads=2,
+        linear_units=64, num_blocks=4, cnn_module_kernel=7,
+        causal=True, use_dynamic_chunk=True, dropout_rate=0.0,
+        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        stride_layer_idx=[1], stride=[2], group_layer_idx=[0, 1],
+        group_size=2)
+    full, stream = _run(enc, T=128, left_chunks=-1)
+    np.testing.assert_allclose(stream, full, atol=2e-4, rtol=2e-4)
+
+
+def test_efficient_conformer_streaming_limited_left_context():
+    from wenet_tpu.models.efficient_conformer.encoder import (
+        EfficientConformerEncoder)
+    enc = EfficientConformerEncoder(
+        input_size=IDIM, output_size=32, attention_heads=2,
+        linear_units=64, num_blocks=4, cnn_module_kernel=7,
+        causal=True, use_dynamic_chunk=True,
+        use_dynamic_left_chunk=False, dropout_rate=0.0,
+        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+        stride_layer_idx=[1], stride=[2], group_layer_idx=[0, 1],
+        group_size=2)
+    full, stream = _run(enc, T=128, left_chunks=2)
+    np.testing.assert_allclose(stream, full, atol=2e-4, rtol=2e-4)

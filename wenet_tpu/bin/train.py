@@ -43,6 +43,14 @@ def get_args():
                         help='unused (thread prefetch built in)')
     parser.add_argument('--prefetch', type=int, default=2)
     parser.add_argument('--seed', type=int, default=777)
+    parser.add_argument('--prng_impl', default='unsafe_rbg',
+                        choices=['unsafe_rbg', 'rbg', 'threefry2x32'],
+                        help='PRNG for dropout/chunk masks. threefry '
+                             'bit-generation costs ~45%% of a conformer '
+                             'train step on TPU; unsafe_rbg uses the '
+                             'hardware RNG path (+79%% step throughput '
+                             'measured, BENCH_NOTES.md) and is the '
+                             'standard choice for TPU training')
     parser.add_argument('--profile_dir', default=None,
                         help='write a jax.profiler trace (xplane, '
                              'viewable in tensorboard/xprof) covering '
@@ -61,6 +69,7 @@ def parse_mesh(spec):
 
 def main():
     args = get_args()
+    jax.config.update('jax_default_prng_impl', args.prng_impl)
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(levelname)s %(message)s')
     configs = load_config(args.config, args.override_config)

@@ -54,6 +54,19 @@ class GroupedRelPosAttention(nn.Module):
             k = jnp.concatenate([cache[0], k], axis=-2)
             v = jnp.concatenate([cache[1], v], axis=-2)
         new_cache = (k, v)
+        if mask is not None and mask.shape[1] == 1:
+            # streaming (broadcast key-validity mask): grouping CONCATS
+            # g neighbouring frames into one row, so a pad frame's
+            # content leaks into its group-mates.  The reference's
+            # dynamic-shape streaming zero-pads instead — zero the
+            # k/v/q/p of invalid slots so half-valid groups match it
+            # exactly (full-forward (B,T,T) masks keep the reference's
+            # own data-pad dilution)
+            kvalid = mask[:, 0, :].astype(k.dtype)
+            k = k * kvalid[:, None, :, None]
+            v = v * kvalid[:, None, :, None]
+            q = q * kvalid[:, None, -T:, None]
+            p = p * mask[:, 0, :, None].astype(p.dtype)
 
         def pad_group(t):
             # (B, h, T, d) -> (B, h, ceil(T/g), d*g)
@@ -145,15 +158,29 @@ class StrideConvModule(nn.Module):
         return out, new_cache
 
 
-def avg_pool_ceil(x: jax.Array, stride: int) -> jax.Array:
-    """AvgPool1d(ceil_mode=True, count_include_pad=False) over (B,T,C)."""
+def avg_pool_ceil(x: jax.Array, stride: int,
+                  mask=None) -> jax.Array:
+    """AvgPool1d(ceil_mode=True, count_include_pad=False) over (B,T,C).
+
+    `mask` (B, T) bool marks frames that EXIST (streaming tail chunks
+    are padded to a static window; the reference's dynamic-shape
+    streaming never sees those frames, so they must not enter the
+    window averages).  Without a mask, data pads count as data — the
+    reference's own full-forward AvgPool1d semantics."""
     B, T, C = x.shape
     padl = (-T) % stride
     xp = jnp.pad(x, ((0, 0), (0, padl), (0, 0)))
     xp = xp.reshape(B, -1, stride, C)
-    counts = jnp.minimum(
-        T - jnp.arange(xp.shape[1]) * stride, stride).astype(x.dtype)
-    return jnp.sum(xp, axis=2) / counts[None, :, None]
+    if mask is None:
+        counts = jnp.minimum(
+            T - jnp.arange(xp.shape[1]) * stride,
+            stride).astype(x.dtype)[None, :, None]
+    else:
+        m = jnp.pad(mask.astype(x.dtype), ((0, 0), (0, padl)))
+        m = m.reshape(B, -1, stride)
+        xp = xp * m[..., None]
+        counts = jnp.maximum(jnp.sum(m, axis=2), 1.0)[..., None]
+    return jnp.sum(xp, axis=2) / counts
 
 
 class StrideConformerEncoderLayer(nn.Module):
@@ -212,7 +239,8 @@ class StrideConformerEncoderLayer(nn.Module):
         return 0.5 if self.macaron_style else 1.0
 
     def __call__(self, x, mask=None, pos_emb=None, mask_pad=None,
-                 att_cache=None, cnn_cache=None, train: bool = False):
+                 att_cache=None, cnn_cache=None, train: bool = False,
+                 pool_mask=None):
         det = not train
         if self.macaron_style:
             residual = x
@@ -239,7 +267,7 @@ class StrideConformerEncoderLayer(nn.Module):
             x = self.norm_conv(x)
         x, new_cnn_cache = self.conv_module(x, mask_pad, cnn_cache,
                                             train=train)
-        residual = avg_pool_ceil(residual, self.stride)
+        residual = avg_pool_ceil(residual, self.stride, pool_mask)
         x = residual[:, :x.shape[1]] + self.dropout(x,
                                                     deterministic=det)
 
@@ -422,6 +450,123 @@ class EfficientConformerEncoder(nn.Module):
         if self.normalize_before:
             xs = self.after_norm(xs)
         return xs, masks
+
+    # ------------------------------------------------------------------
+    # streaming (ref encoder.py:297-460)
+    # ------------------------------------------------------------------
+    @property
+    def output_downsampling_factor(self) -> int:
+        f = 1
+        for s in self._strides:
+            f *= s
+        return f
+
+    def _layer_factor(self, i: int) -> int:
+        """Cumulative downsampling seen at layer i's INPUT (the stride
+        layer itself still attends at pre-stride resolution).
+        ref: encoder.py calculate_downsampling_factor."""
+        f = 1
+        for idx, s in zip(self._stride_layers, self._strides):
+            if i > idx:
+                f *= s
+        return f
+
+    def forward_chunk(self, xs, offset, att_cache, cnn_cache,
+                      att_mask=None):
+        """One streaming chunk with fixed-size right-aligned caches.
+
+        TPU redesign of ref encoder.py:297-460: the kv cache is stored
+        at the LAYER-0 (base) time resolution for every layer — the
+        reference's repeat_interleave trick — so one fixed
+        (num_blocks, B, h, cache_t1, d_k) tensor serves all layers;
+        layer i reads every `factor`-th slot (a static slice) and its
+        fresh kv is re-expanded by `factor` before being right-aligned
+        back into the window.  Requires cache_t1 (and the chunk size)
+        divisible by the total stride product.
+
+        `offset` counts FINAL-resolution output frames (the reference
+        multiplies by the total downsampling factor the same way,
+        encoder.py:336); early-chunk invalid cache slots are masked at
+        group granularity for grouped-attention layers (a group whose
+        first slot is invalid is dropped entirely — conservative; at
+        steady state the windows match the reference exactly when
+        cache/chunk are multiples of group_size)."""
+        B = xs.shape[0]
+        total = self.output_downsampling_factor
+        base_offset = jnp.asarray(offset, jnp.int32) * total
+        tmp_mask = jnp.ones((B, 1, xs.shape[1]), bool)
+        if self.use_cmvn:
+            xs = self.global_cmvn(xs)
+        xs, _, _ = self.embed(xs, tmp_mask, base_offset)
+        k_cache, v_cache = att_cache
+        cache_t1 = k_cache.shape[-2]
+        chunk_size = xs.shape[1]  # base resolution
+        assert cache_t1 % total == 0 and chunk_size % total == 0, (
+            'cache/chunk must divide the total stride for fixed-shape '
+            'streaming', cache_t1, chunk_size, total)
+        pos_emb = self.embed.position_encoding(
+            base_offset - cache_t1, cache_t1 + chunk_size)
+        if att_mask is None:
+            att_mask = jnp.ones((B, 1, cache_t1 + chunk_size), bool)
+        new_k, new_v, new_cnn = [], [], []
+        max_lorder = cnn_cache.shape[-2] if cnn_cache is not None else 0
+        for i, layer in enumerate(self.encoders):
+            f = self._layer_factor(i)
+            kv = (k_cache[i][:, :, ::f, :], v_cache[i][:, :, ::f, :])
+            layer_mask = att_mask[:, :, ::f]
+            layer_pos = pos_emb[:, ::f, :]
+            layer_cnn_in = None
+            if cnn_cache is not None:
+                lorder = getattr(layer.conv_module, 'lorder', 0) \
+                    if hasattr(layer, 'conv_module') else 0
+                if lorder:
+                    layer_cnn_in = cnn_cache[i][:, -lorder:, :]
+            layer_kwargs = {}
+            if isinstance(layer, StrideConformerEncoderLayer):
+                # the reference's dynamic-shape streaming never pools
+                # the static tail padding — mask it out of the windows
+                layer_kwargs['pool_mask'] = att_mask[:, 0,
+                                                     cache_t1:][:, ::f]
+            xs, _, new_kv, layer_cnn = layer(
+                xs, layer_mask, layer_pos, mask_pad=None,
+                att_cache=kv, cnn_cache=layer_cnn_in, **layer_kwargs)
+            # fresh kv at layer res -> re-expand to base res, keep the
+            # right-aligned fixed window (ref repeat_interleave,
+            # encoder.py:430-436)
+            nk = jnp.repeat(new_kv[0][:, :, -(cache_t1 // f):, :], f,
+                            axis=-2)
+            nv = jnp.repeat(new_kv[1][:, :, -(cache_t1 // f):, :], f,
+                            axis=-2)
+            new_k.append(nk)
+            new_v.append(nv)
+            if cnn_cache is not None:
+                if layer_cnn is None:
+                    layer_cnn = jnp.zeros(
+                        (B, 0, self.output_size), xs.dtype)
+                pad = max_lorder - layer_cnn.shape[1]
+                new_cnn.append(jnp.pad(layer_cnn,
+                                       ((0, 0), (pad, 0), (0, 0))))
+        if self.normalize_before:
+            xs = self.after_norm(xs)
+        r_att = (jnp.stack(new_k, 0), jnp.stack(new_v, 0))
+        r_cnn = jnp.stack(new_cnn, 0) if cnn_cache is not None else None
+        return xs, r_att, r_cnn
+
+    def zero_cache(self, batch_size: int, required_cache_size: int,
+                   dtype=jnp.float32):
+        """All-invalid streaming cache at base resolution."""
+        d_k = self.output_size // self.attention_heads
+        k = jnp.zeros((self.num_blocks, batch_size,
+                       self.attention_heads, required_cache_size, d_k),
+                      dtype)
+        return (k, k), self.zero_cnn_cache(batch_size, dtype)
+
+    def zero_cnn_cache(self, batch_size: int, dtype=jnp.float32):
+        if not self.causal:
+            return None
+        max_lorder = self.cnn_module_kernel - 1
+        return jnp.zeros((self.num_blocks, batch_size, max_lorder,
+                          self.output_size), dtype)
 
 
 class _GroupedConformerLayer(nn.Module):

@@ -87,6 +87,10 @@ def forward_chunk_by_chunk(model, variables, xs: jax.Array,
     state = init_streaming_state(enc, xs.shape[0], cfg, xs.dtype)
     num_frames = xs.shape[1]
     context = cfg.right_context + 1
+    # progressive-downsampling encoders (efficient conformer) emit
+    # base_frames/out_factor outputs per chunk; caches/masks stay at
+    # base resolution, `offset` counts FINAL frames
+    out_factor = getattr(enc, 'output_downsampling_factor', 1)
     outputs = []
 
     apply_fn = _chunk_apply(model, variables)
@@ -96,14 +100,15 @@ def forward_chunk_by_chunk(model, variables, xs: jax.Array,
         chunk_xs = xs[:, cur:end, :]
         # pad the tail chunk up to the full window so shapes stay static
         pad = cfg.decoding_window - chunk_xs.shape[1]
-        real_out = (chunk_xs.shape[1] - context) // cfg.subsampling_rate + 1
+        real_base = (chunk_xs.shape[1] - context) // cfg.subsampling_rate + 1
+        real_out = -(-real_base // out_factor)
         if pad > 0:
             chunk_xs = jnp.pad(chunk_xs, ((0, 0), (0, pad), (0, 0)))
         chunk_out = (cfg.decoding_window - context
                      ) // cfg.subsampling_rate + 1
         att_mask = streaming_att_mask(xs.shape[0], cache_size, chunk_out,
                                       state.valid_cache,
-                                      valid_chunk=real_out)
+                                      valid_chunk=real_base)
         ys, att_cache, cnn_cache = apply_fn(
             chunk_xs, jnp.asarray(state.offset), state.att_cache,
             state.cnn_cache, att_mask)
@@ -111,7 +116,7 @@ def forward_chunk_by_chunk(model, variables, xs: jax.Array,
         state.att_cache = att_cache
         state.cnn_cache = cnn_cache
         state.offset += real_out
-        state.valid_cache = min(state.valid_cache + real_out, cache_size)
+        state.valid_cache = min(state.valid_cache + real_base, cache_size)
 
     ys = jnp.concatenate(outputs, axis=1)
     masks = jnp.ones((1, 1, ys.shape[1]), bool)
