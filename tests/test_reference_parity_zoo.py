@@ -821,3 +821,47 @@ def test_efficient_conformer_streaming_parity():
     assert n >= 14
     np.testing.assert_allclose(ys[:, :n], ref_ys[:, :n], atol=3e-4,
                                rtol=3e-4)
+
+
+@pytest.mark.slow
+def test_squeezeformer_streaming_parity():
+    """Fixed-shape U-net streaming (base-resolution caches, window-
+    geometry rel_shift emulation for the partially-filled cache) vs
+    the reference's own forward_chunk_by_chunk with its dynamically
+    grown cache (ref squeezeformer/encoder.py:268-407)."""
+    from wenet_tpu.models.transformer.streaming import (
+        StreamingConfig, forward_chunk_by_chunk)
+    cfg = {'input_dim': IDIM, 'output_dim': VOCAB,
+           'encoder': 'squeezeformer',
+           'encoder_conf': {
+               'encoder_dim': 32, 'output_size': 32,
+               'attention_heads': 2, 'num_blocks': 4, 'reduce_idx': 1,
+               'recover_idx': 3, 'feed_forward_expansion_factor': 2,
+               'cnn_module_kernel': 7, 'input_dropout_rate': 0.0,
+               'feed_forward_dropout_rate': 0.0,
+               'attention_dropout_rate': 0.0, 'dropout': 0.0,
+               'adaptive_scale': True, 'do_rel_shift': True,
+               'causal': True, 'use_dynamic_chunk': True},
+           'decoder': 'transformer', 'decoder_conf': dict(DEC_CONF),
+           'model': 'asr_model', 'model_conf': dict(MODEL_CONF)}
+    tmodel, jmodel, variables = make_pair(cfg, seed=5)
+    rng = np.random.RandomState(2)
+    T = 147  # 19 + 8*16: every decoding window is full (no padded tail)
+    feats = rng.randn(1, T, IDIM).astype(np.float32)
+    with torch.no_grad():
+        ref_ys, _ = tmodel.encoder.forward_chunk_by_chunk(
+            torch.tensor(feats), decoding_chunk_size=4,
+            num_decoding_left_chunks=2)
+    ref_ys = ref_ys.numpy()
+    enc = jmodel.encoder
+    scfg = StreamingConfig(decoding_chunk_size=4,
+                           num_decoding_left_chunks=2,
+                           subsampling_rate=enc.subsampling_rate,
+                           right_context=enc.right_context)
+    ys, _ = forward_chunk_by_chunk(jmodel, variables,
+                                   jnp.asarray(feats), scfg)
+    ys = np.asarray(ys)
+    n = min(ys.shape[1], ref_ys.shape[1])
+    assert n >= 30
+    np.testing.assert_allclose(ys[:, :n], ref_ys[:, :n], atol=3e-4,
+                               rtol=3e-4)

@@ -33,6 +33,40 @@ def rel_shift(x: jax.Array) -> jax.Array:
     return x_padded[:, :, 1:].reshape(B, H, T1, T2)
 
 
+def rel_shift_window(x: jax.Array, t2_eff) -> jax.Array:
+    """`rel_shift` emulated at the reference's dynamic window geometry.
+
+    The legacy zero-pad/reshape shift (ref attention.py:74-99) mixes
+    rows *and* columns in a way that depends on the score matrix's
+    width.  The reference's streaming window grows with the cache
+    (encoder.py:318-330), so on early chunks its shift runs at width
+    ``t2_eff = valid_cache + chunk`` < our fixed ``cache_t1 + chunk``.
+    This gather reproduces out[i, j] = x_padded-reshape at width
+    t2_eff on the LAST t2_eff columns of our fixed-width matrix,
+    zeroing columns that fall in the not-yet-filled pad; with
+    ``t2_eff == T2`` it equals ``rel_shift(x)`` exactly.
+
+    x: (B, H, T1, T2); t2_eff: int scalar or (B,) int32 (may be traced).
+    """
+    B, H, T1, T2 = x.shape
+    t2 = jnp.broadcast_to(jnp.asarray(t2_eff, jnp.int32),
+                          (B,))[:, None, None, None]
+    pad = T2 - t2
+    i = jnp.arange(T1, dtype=jnp.int32)[None, None, :, None]
+    m = jnp.arange(T2, dtype=jnp.int32)[None, None, None, :]
+    j = m - pad  # column index inside the reference window
+    flat = i * t2 + j + T1
+    ip = flat // (t2 + 1)
+    jp = flat - ip * (t2 + 1)
+    src = jp - 1 + pad
+    gather = (jnp.clip(ip, 0, T1 - 1) * T2 +
+              jnp.clip(src, 0, T2 - 1))  # (B,1,T1,T2)
+    gather = jnp.broadcast_to(gather, (B, H, T1, T2)).reshape(B, H, -1)
+    val = jnp.take_along_axis(x.reshape(B, H, -1), gather,
+                              axis=-1).reshape(B, H, T1, T2)
+    return jnp.where((jp <= 0) | (j < 0), jnp.zeros((), x.dtype), val)
+
+
 class SqueezeRelPosAttention(nn.Module):
     """rel-pos MHA with adaptive scale + rel_shift. ref: attention.py:28-235."""
     n_head: int
@@ -74,7 +108,16 @@ class SqueezeRelPosAttention(nn.Module):
         bd = jnp.einsum('bhqd,bhkd->bhqk', q + w[None, :, None, :], p,
                         preferred_element_type=jnp.float32)
         if self.do_rel_shift:
-            bd = rel_shift(bd)
+            if cache is not None and mask is not None:
+                # streaming: emulate the reference's dynamically-grown
+                # window (valid cache slots + chunk) so early chunks
+                # match the reference exactly (ref encoder.py:318-330)
+                cache_len = k.shape[-2] - T
+                valid = jnp.sum(mask[:, 0, :cache_len].astype(jnp.int32),
+                                axis=-1)
+                bd = rel_shift_window(bd, valid + T)
+            else:
+                bd = rel_shift(bd)
         scores = (ac + bd) / math.sqrt(self.d_k)
         if mask is not None:
             m = mask[..., None, :, :]
@@ -427,3 +470,110 @@ class SqueezeformerEncoder(nn.Module):
         if self.output_size != self.encoder_dim:
             xs = self.final_proj(xs)
         return xs, masks
+
+    # ------------------------------------------------------------------
+    # streaming (ref squeezeformer/encoder.py:268-407)
+    # ------------------------------------------------------------------
+    def _layer_factor(self, i: int) -> int:
+        """Time-resolution factor at layer i's input: doubles at each
+        reduce_idx, halves back at each recover_idx (U-net trunk,
+        ref calculate_downsampling_factor)."""
+        f = 1
+        for r in (self._reduce_idx or []):
+            if i >= r:
+                f *= 2
+        for r in (self._recover_idx or []):
+            if i >= r:
+                f //= 2
+        return max(f, 1)
+
+    def forward_chunk(self, xs, offset, att_cache, cnn_cache,
+                      att_mask=None):
+        """One streaming chunk with fixed-size right-aligned caches.
+
+        Same design as the efficient-conformer streaming: the kv cache
+        lives at BASE time resolution for every layer (the reference
+        repeat-expands reduced-resolution caches the same way,
+        encoder.py:389-399); reduced layers read every 2nd slot.
+        reduce/recover is chunk-local exactly as in the reference
+        (saved activations never cross chunks).  Requires cache_t1 and
+        the chunk size divisible by 2**len(reduce_idx)."""
+        B = xs.shape[0]
+        tmp_mask = jnp.ones((B, 1, xs.shape[1]), bool)
+        if self.use_cmvn:
+            xs = self.global_cmvn(xs)
+        xs, _, _ = self.embed(xs, tmp_mask, offset)
+        k_cache, v_cache = att_cache
+        cache_t1 = k_cache.shape[-2]
+        chunk = xs.shape[1]
+        max_f = 2 ** len(self._reduce_idx or [])
+        assert cache_t1 % max_f == 0 and chunk % max_f == 0, (
+            cache_t1, chunk, max_f)
+        base_pos = sinusoidal_position_encoding(
+            jnp.asarray(offset, jnp.int32) - cache_t1, cache_t1 + chunk,
+            self.embed.pos_enc_dim).astype(xs.dtype)
+        if att_mask is None:
+            att_mask = jnp.ones((B, 1, cache_t1 + chunk), bool)
+        xs = self.preln(xs)
+        new_k, new_v, new_cnn = [], [], []
+        recover: List = []
+        index = 0
+        lens = jnp.full((B,), chunk, jnp.int32)
+        for i, layer in enumerate(self.encoders):
+            if self._reduce_idx is not None and i in self._reduce_idx:
+                recover.append(xs)
+                mask_pad = jnp.ones((B, 1, xs.shape[1]), bool)
+                xs, lens, _, _ = self.time_reduction_layer(
+                    xs, lens, jnp.ones((B, 1, xs.shape[1]), bool),
+                    mask_pad)
+                index += 1
+            if (self._recover_idx is not None
+                    and self.reduce_idx is not None
+                    and i in self._recover_idx):
+                index -= 1
+                rec_t = recover[index]
+                xs = jnp.repeat(xs, 2, axis=1)
+                xs = self.time_recover_layer(xs)
+                xs = rec_t + xs[:, :rec_t.shape[1], :]
+                # mask the static pad tail of the chunk
+                # (ref encoder.py:373-375 masks by att_mask)
+                chunk_valid = att_mask[:, 0, cache_t1:]
+                f_here = self._layer_factor(i)
+                xs = jnp.where(
+                    chunk_valid[:, ::f_here, None], xs, 0.0)
+            f = self._layer_factor(i)
+            kv = (k_cache[i][:, :, ::f, :], v_cache[i][:, :, ::f, :])
+            layer_cnn_in = None
+            if cnn_cache is not None:
+                layer_cnn_in = cnn_cache[i]
+            xs, _, new_kv, layer_cnn = layer(
+                xs, att_mask[:, :, ::f], base_pos[:, ::f, :],
+                mask_pad=None, att_cache=kv, cnn_cache=layer_cnn_in)
+            nk = jnp.repeat(new_kv[0][:, :, -(cache_t1 // f):, :], f,
+                            axis=-2)
+            nv = jnp.repeat(new_kv[1][:, :, -(cache_t1 // f):, :], f,
+                            axis=-2)
+            new_k.append(nk)
+            new_v.append(nv)
+            if cnn_cache is not None:
+                new_cnn.append(layer_cnn)
+        if self.output_size != self.encoder_dim:
+            xs = self.final_proj(xs)
+        r_att = (jnp.stack(new_k, 0), jnp.stack(new_v, 0))
+        r_cnn = jnp.stack(new_cnn, 0) if cnn_cache is not None else None
+        return xs, r_att, r_cnn
+
+    def zero_cache(self, batch_size: int, required_cache_size: int,
+                   dtype=jnp.float32):
+        d_k = self.encoder_dim // self.attention_heads
+        k = jnp.zeros((self.num_blocks, batch_size,
+                       self.attention_heads, required_cache_size, d_k),
+                      dtype)
+        return (k, k), self.zero_cnn_cache(batch_size, dtype)
+
+    def zero_cnn_cache(self, batch_size: int, dtype=jnp.float32):
+        if not self.causal:
+            return None
+        return jnp.zeros((self.num_blocks, batch_size,
+                          self.cnn_module_kernel - 1, self.encoder_dim),
+                         dtype)
