@@ -187,6 +187,35 @@ def _patch_grouped_attention_cache():
     R.forward = r_forward
 
 
+def _patch_branchformer_streaming_mask():
+    """BaseEncoder.forward_chunk passes the FAKE empty mask_pad
+    (transformer/encoder.py:279-284 leaves the (0,0,0) default), and
+    the branchformer learned_ave merge masked_fills the pooling scores
+    with it (branchformer/encoder_layer.py:156) — shape mismatch, so
+    the reference's own learned_ave streaming crashes upstream.
+    Substitute a real all-ones mask (the chunk is fully valid in the
+    reference's true-length chunking) so the otherwise-untouched math
+    can run for parity tests."""
+    import torch
+    from wenet.models.branchformer.encoder_layer import (
+        BranchformerEncoderLayer as BL)
+    orig = BL._forward
+
+    def _forward(self, x, mask, pos_emb,
+                 mask_pad=torch.ones((0, 0, 0), dtype=torch.bool),
+                 att_cache=(torch.zeros((0, 0, 0, 0)),
+                            torch.zeros((0, 0, 0, 0))),
+                 cnn_cache=torch.zeros((0, 0, 0, 0)),
+                 stoch_layer_coeff: float = 1.0):
+        if mask_pad.numel() == 0:
+            mask_pad = torch.ones((x.size(0), 1, x.size(1)),
+                                  dtype=torch.bool, device=x.device)
+        return orig(self, x, mask, pos_emb, mask_pad, att_cache,
+                    cnn_cache, stoch_layer_coeff)
+
+    BL._forward = _forward
+
+
 @functools.lru_cache(maxsize=1)
 def load():
     """Import and return the reference `wenet` package (cached)."""
@@ -195,4 +224,5 @@ def load():
         sys.path.insert(0, REF_PATH)
     import wenet  # noqa: F401
     _patch_grouped_attention_cache()
+    _patch_branchformer_streaming_mask()
     return wenet

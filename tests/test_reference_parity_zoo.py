@@ -824,11 +824,15 @@ def test_efficient_conformer_streaming_parity():
 
 
 @pytest.mark.slow
-def test_squeezeformer_streaming_parity():
+@pytest.mark.parametrize('T', [147, 128])
+def test_squeezeformer_streaming_parity(T):
     """Fixed-shape U-net streaming (base-resolution caches, window-
-    geometry rel_shift emulation for the partially-filled cache) vs
-    the reference's own forward_chunk_by_chunk with its dynamically
-    grown cache (ref squeezeformer/encoder.py:268-407)."""
+    geometry rel_shift emulation for the partially-filled cache AND
+    the padded tail chunk) vs the reference's own
+    forward_chunk_by_chunk with its dynamically grown cache and
+    true-length tail chunk (ref squeezeformer/encoder.py:268-407).
+    T=147 keeps every decoding window full; T=128 ends on a partial
+    chunk (3 of 4 frames valid)."""
     from wenet_tpu.models.transformer.streaming import (
         StreamingConfig, forward_chunk_by_chunk)
     cfg = {'input_dim': IDIM, 'output_dim': VOCAB,
@@ -846,7 +850,77 @@ def test_squeezeformer_streaming_parity():
            'model': 'asr_model', 'model_conf': dict(MODEL_CONF)}
     tmodel, jmodel, variables = make_pair(cfg, seed=5)
     rng = np.random.RandomState(2)
-    T = 147  # 19 + 8*16: every decoding window is full (no padded tail)
+    feats = rng.randn(1, T, IDIM).astype(np.float32)
+    with torch.no_grad():
+        ref_ys, _ = tmodel.encoder.forward_chunk_by_chunk(
+            torch.tensor(feats), decoding_chunk_size=4,
+            num_decoding_left_chunks=2)
+    ref_ys = ref_ys.numpy()
+    enc = jmodel.encoder
+    scfg = StreamingConfig(decoding_chunk_size=4,
+                           num_decoding_left_chunks=2,
+                           subsampling_rate=enc.subsampling_rate,
+                           right_context=enc.right_context)
+    ys, _ = forward_chunk_by_chunk(jmodel, variables,
+                                   jnp.asarray(feats), scfg)
+    ys = np.asarray(ys)
+    n = min(ys.shape[1], ref_ys.shape[1])
+    assert n >= 30
+    np.testing.assert_allclose(ys[:, :n], ref_ys[:, :n], atol=3e-4,
+                               rtol=3e-4)
+
+
+STREAMING_FAMILIES = {
+    'branchformer': {
+        'encoder': 'branchformer',
+        'encoder_conf': {
+            'output_size': 32, 'use_attn': True, 'attention_heads': 2,
+            'use_cgmlp': True, 'cgmlp_linear_units': 64,
+            'cgmlp_conv_kernel': 7, 'gate_activation': 'identity',
+            'merge_method': 'concat', 'num_blocks': 2,
+            'dropout_rate': 0.0, 'positional_dropout_rate': 0.0,
+            'attention_dropout_rate': 0.0,
+            'causal': True, 'use_dynamic_chunk': True},
+    },
+    'branchformer_learned_ave': {
+        'encoder': 'branchformer',
+        'encoder_conf': {
+            'output_size': 32, 'use_attn': True, 'attention_heads': 2,
+            'use_cgmlp': True, 'cgmlp_linear_units': 64,
+            'cgmlp_conv_kernel': 7, 'gate_activation': 'identity',
+            'merge_method': 'learned_ave', 'num_blocks': 2,
+            'dropout_rate': 0.0, 'positional_dropout_rate': 0.0,
+            'attention_dropout_rate': 0.0,
+            'causal': True, 'use_dynamic_chunk': True},
+    },
+    'e_branchformer': {
+        'encoder': 'e_branchformer',
+        'encoder_conf': {
+            'output_size': 32, 'attention_heads': 2, 'linear_units': 64,
+            'cgmlp_linear_units': 64, 'cgmlp_conv_kernel': 7,
+            'gate_activation': 'identity', 'num_blocks': 2,
+            'dropout_rate': 0.0, 'positional_dropout_rate': 0.0,
+            'attention_dropout_rate': 0.0, 'merge_conv_kernel': 3,
+            'causal': True, 'use_dynamic_chunk': True},
+    },
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('T', [147, 128])
+@pytest.mark.parametrize('family', sorted(STREAMING_FAMILIES))
+def test_branchformer_streaming_parity(family, T):
+    """(E-)Branchformer chunked decode vs the reference's inherited
+    BaseEncoder.forward_chunk_by_chunk (ref transformer/encoder.py:
+    302-362, branchformer/encoder.py:28, e_branchformer/encoder.py:32)."""
+    from wenet_tpu.models.transformer.streaming import (
+        StreamingConfig, forward_chunk_by_chunk)
+    cfg = {'input_dim': IDIM, 'output_dim': VOCAB,
+           'decoder': 'transformer', 'decoder_conf': dict(DEC_CONF),
+           'model': 'asr_model', 'model_conf': dict(MODEL_CONF)}
+    cfg.update(copy.deepcopy(STREAMING_FAMILIES[family]))
+    tmodel, jmodel, variables = make_pair(cfg, seed=7)
+    rng = np.random.RandomState(4)
     feats = rng.randn(1, T, IDIM).astype(np.float32)
     with torch.no_grad():
         ref_ys, _ = tmodel.encoder.forward_chunk_by_chunk(

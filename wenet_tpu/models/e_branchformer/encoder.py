@@ -102,24 +102,20 @@ class EBranchformerEncoderLayer(nn.Module):
                                          deterministic=det)
         x1 = self.dropout(x_att, deterministic=det)
 
-        cgmlp_cache, fusion_cache = (cnn_cache if cnn_cache is not None
-                                     else (None, None))
         x2 = self.norm_mlp(x2)
-        x2, new_cgmlp_cache = self.cgmlp(x2, mask_pad, cgmlp_cache,
-                                         train=train)
+        x2, new_cnn_cache = self.cgmlp(x2, mask_pad, cnn_cache,
+                                       train=train)
         x2 = self.dropout(x2, deterministic=det)
 
         x_concat = jnp.concatenate([x1, x2], axis=-1)
         x_tmp = x_concat
-        new_fusion_cache = None
         if self.merge_lorder > 0:
-            if fusion_cache is None:
-                x_tmp = jnp.pad(
-                    x_tmp, ((0, 0), (self.merge_lorder, 0), (0, 0)))
-            else:
-                x_tmp = jnp.concatenate(
-                    [fusion_cache.astype(x_tmp.dtype), x_tmp], axis=1)
-            new_fusion_cache = x_tmp[:, -self.merge_lorder:, :]
+            # the merge conv is zero-padded EVERY call — the reference
+            # keeps no cross-chunk cache for it in streaming either
+            # (ref encoder_layer.py:130-134), so chunked decode matches
+            # the reference exactly
+            x_tmp = jnp.pad(
+                x_tmp, ((0, 0), (self.merge_lorder, 0), (0, 0)))
         x_tmp = self.depthwise_conv_fusion(x_tmp)
         x = x + self.dropout(self.merge_proj(x_concat + x_tmp),
                              deterministic=det)
@@ -131,13 +127,6 @@ class EBranchformerEncoderLayer(nn.Module):
                 self.feed_forward(x, deterministic=det),
                 deterministic=det)
         x = self.norm_final(x)
-        new_cnn_cache = None
-        if new_cgmlp_cache is not None or new_fusion_cache is not None:
-            B = x.shape[0]
-            if new_fusion_cache is None:
-                new_fusion_cache = jnp.zeros((B, 0, 2 * self.size),
-                                             x.dtype)
-            new_cnn_cache = (new_cgmlp_cache, new_fusion_cache)
         return x, mask, new_att_cache, new_cnn_cache
 
 
@@ -165,16 +154,6 @@ class EBranchformerEncoder(BaseEncoder):
     @property
     def cnn_cache_channels(self) -> int:
         return self.cgmlp_linear_units // 2
-
-    def zero_cnn_cache(self, batch_size, dtype=jnp.float32):
-        if not self.causal:
-            return None
-        cgmlp = jnp.zeros((self.num_blocks, batch_size, self.cnn_lorder,
-                           self.cgmlp_linear_units // 2), dtype)
-        fusion = jnp.zeros((self.num_blocks, batch_size,
-                            self.merge_conv_kernel - 1,
-                            2 * self.output_size), dtype)
-        return (cgmlp, fusion)
 
     def make_layers(self):
         return [

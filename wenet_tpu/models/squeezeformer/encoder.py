@@ -33,29 +33,37 @@ def rel_shift(x: jax.Array) -> jax.Array:
     return x_padded[:, :, 1:].reshape(B, H, T1, T2)
 
 
-def rel_shift_window(x: jax.Array, t2_eff) -> jax.Array:
+def rel_shift_window(x: jax.Array, valid_cache, valid_chunk,
+                     cache_len: int) -> jax.Array:
     """`rel_shift` emulated at the reference's dynamic window geometry.
 
     The legacy zero-pad/reshape shift (ref attention.py:74-99) mixes
     rows *and* columns in a way that depends on the score matrix's
-    width.  The reference's streaming window grows with the cache
-    (encoder.py:318-330), so on early chunks its shift runs at width
-    ``t2_eff = valid_cache + chunk`` < our fixed ``cache_t1 + chunk``.
-    This gather reproduces out[i, j] = x_padded-reshape at width
-    t2_eff on the LAST t2_eff columns of our fixed-width matrix,
-    zeroing columns that fall in the not-yet-filled pad; with
-    ``t2_eff == T2`` it equals ``rel_shift(x)`` exactly.
+    exact (T1, T2).  The reference's streaming window grows with the
+    cache (encoder.py:318-330) and its tail chunk runs at its true
+    shorter length, so its shift runs at ``t1_eff = valid_chunk``,
+    ``t2_eff = valid_cache + valid_chunk`` — smaller than our static
+    padded (T1, T2).  This gather reproduces the reference geometry on
+    our fixed-width matrix: its window occupies columns
+    [cache_len - valid_cache, cache_len + valid_chunk); pad columns
+    are zeroed (they are masked out of the softmax anyway).  With a
+    full cache and full chunk it equals ``rel_shift(x)`` exactly.
 
-    x: (B, H, T1, T2); t2_eff: int scalar or (B,) int32 (may be traced).
+    x: (B, H, T1, T2); valid_cache/valid_chunk: int scalar or (B,)
+    int32 (may be traced); cache_len: static cache width (T2 - T1).
     """
     B, H, T1, T2 = x.shape
-    t2 = jnp.broadcast_to(jnp.asarray(t2_eff, jnp.int32),
-                          (B,))[:, None, None, None]
-    pad = T2 - t2
+    vcache = jnp.broadcast_to(jnp.asarray(valid_cache, jnp.int32),
+                              (B,))[:, None, None, None]
+    vchunk = jnp.broadcast_to(jnp.asarray(valid_chunk, jnp.int32),
+                              (B,))[:, None, None, None]
+    pad = cache_len - vcache
+    t1 = vchunk
+    t2 = vcache + vchunk
     i = jnp.arange(T1, dtype=jnp.int32)[None, None, :, None]
     m = jnp.arange(T2, dtype=jnp.int32)[None, None, None, :]
     j = m - pad  # column index inside the reference window
-    flat = i * t2 + j + T1
+    flat = i * t2 + j + t1
     ip = flat // (t2 + 1)
     jp = flat - ip * (t2 + 1)
     src = jp - 1 + pad
@@ -64,7 +72,8 @@ def rel_shift_window(x: jax.Array, t2_eff) -> jax.Array:
     gather = jnp.broadcast_to(gather, (B, H, T1, T2)).reshape(B, H, -1)
     val = jnp.take_along_axis(x.reshape(B, H, -1), gather,
                               axis=-1).reshape(B, H, T1, T2)
-    return jnp.where((jp <= 0) | (j < 0), jnp.zeros((), x.dtype), val)
+    bad = (jp <= 0) | (j < 0) | (j >= t2)
+    return jnp.where(bad, jnp.zeros((), x.dtype), val)
 
 
 class SqueezeRelPosAttention(nn.Module):
@@ -110,12 +119,16 @@ class SqueezeRelPosAttention(nn.Module):
         if self.do_rel_shift:
             if cache is not None and mask is not None:
                 # streaming: emulate the reference's dynamically-grown
-                # window (valid cache slots + chunk) so early chunks
-                # match the reference exactly (ref encoder.py:318-330)
+                # window (valid cache slots + true chunk length) so
+                # early chunks AND the padded tail chunk match the
+                # reference exactly (ref encoder.py:318-330)
                 cache_len = k.shape[-2] - T
-                valid = jnp.sum(mask[:, 0, :cache_len].astype(jnp.int32),
-                                axis=-1)
-                bd = rel_shift_window(bd, valid + T)
+                valid_cache = jnp.sum(
+                    mask[:, 0, :cache_len].astype(jnp.int32), axis=-1)
+                valid_chunk = jnp.sum(
+                    mask[:, 0, cache_len:].astype(jnp.int32), axis=-1)
+                bd = rel_shift_window(bd, valid_cache, valid_chunk,
+                                      cache_len)
             else:
                 bd = rel_shift(bd)
         scores = (ac + bd) / math.sqrt(self.d_k)
@@ -519,36 +532,43 @@ class SqueezeformerEncoder(nn.Module):
         recover: List = []
         index = 0
         lens = jnp.full((B,), chunk, jnp.int32)
+        # chunk-validity (padded tail chunk): the reduction conv pads
+        # symmetrically, so garbage at static-pad positions would leak
+        # into valid outputs — zero them first (the reference runs the
+        # tail chunk at its true shorter length instead)
+        chunk_mask = att_mask[:, :, cache_t1:]  # (B, 1, chunk)
+        cur_f = 1  # time-resolution factor of xs entering layer i
         for i, layer in enumerate(self.encoders):
             if self._reduce_idx is not None and i in self._reduce_idx:
                 recover.append(xs)
-                mask_pad = jnp.ones((B, 1, xs.shape[1]), bool)
+                mask_pad = chunk_mask[:, :, ::cur_f]
                 xs, lens, _, _ = self.time_reduction_layer(
-                    xs, lens, jnp.ones((B, 1, xs.shape[1]), bool),
-                    mask_pad)
+                    xs, lens, mask_pad, mask_pad)
+                cur_f *= 2
                 index += 1
             if (self._recover_idx is not None
                     and self.reduce_idx is not None
                     and i in self._recover_idx):
                 index -= 1
+                cur_f //= 2
                 rec_t = recover[index]
                 xs = jnp.repeat(xs, 2, axis=1)
                 xs = self.time_recover_layer(xs)
                 xs = rec_t + xs[:, :rec_t.shape[1], :]
                 # mask the static pad tail of the chunk
                 # (ref encoder.py:373-375 masks by att_mask)
-                chunk_valid = att_mask[:, 0, cache_t1:]
-                f_here = self._layer_factor(i)
                 xs = jnp.where(
-                    chunk_valid[:, ::f_here, None], xs, 0.0)
-            f = self._layer_factor(i)
+                    chunk_mask[:, 0, ::cur_f, None], xs, 0.0)
+            f = cur_f
+            assert f == self._layer_factor(i)
             kv = (k_cache[i][:, :, ::f, :], v_cache[i][:, :, ::f, :])
             layer_cnn_in = None
             if cnn_cache is not None:
                 layer_cnn_in = cnn_cache[i]
             xs, _, new_kv, layer_cnn = layer(
                 xs, att_mask[:, :, ::f], base_pos[:, ::f, :],
-                mask_pad=None, att_cache=kv, cnn_cache=layer_cnn_in)
+                mask_pad=chunk_mask[:, :, ::f], att_cache=kv,
+                cnn_cache=layer_cnn_in)
             nk = jnp.repeat(new_kv[0][:, :, -(cache_t1 // f):, :], f,
                             axis=-2)
             nv = jnp.repeat(new_kv[1][:, :, -(cache_t1 // f):, :], f,

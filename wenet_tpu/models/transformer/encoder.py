@@ -207,6 +207,11 @@ class BaseEncoder(nn.Module):
         pos_emb = self.embed.position_encoding(
             jnp.asarray(offset, jnp.int32) - cache_t1, attention_key_size)
         new_k, new_v, new_cnn = [], [], []
+        # chunk-validity mask: a padded TAIL chunk (driver keeps shapes
+        # static) must not leak garbage into conv windows or pooling —
+        # the reference runs the tail chunk at its true shorter length
+        mask_pad = (att_mask[:, :, cache_t1:]
+                    if att_mask is not None else None)
         for i, layer in enumerate(self.encoders):
             kv = (k_cache[i], v_cache[i])
             layer_cnn_in = None
@@ -215,7 +220,7 @@ class BaseEncoder(nn.Module):
                     lambda x, i=i: x[i], cnn_cache)
             xs, _, new_kv, layer_cnn = layer(
                 xs, att_mask, pos_emb,
-                mask_pad=None,
+                mask_pad=mask_pad,
                 att_cache=kv,
                 cnn_cache=layer_cnn_in)
             # right-aligned fixed window (ref keeps [next_cache_start:])
