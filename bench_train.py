@@ -22,7 +22,7 @@ import numpy as np
 
 
 def main(dtype=jnp.bfloat16, label='bf16', donate=True, iters=10,
-         prng_impl='unsafe_rbg'):
+         prng_impl='unsafe_rbg', batch=16, seconds=12.0):
     # threefry bit-generation costs ~45% of the step on TPU (measured:
     # 55.7 -> 30.8 ms/step); unsafe_rbg is the shipped train default
     jax.config.update('jax_default_prng_impl', prng_impl)
@@ -45,7 +45,7 @@ def main(dtype=jnp.bfloat16, label='bf16', donate=True, iters=10,
     step_fn = make_train_step(model, tx, schedule, compute_dtype=dtype)
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
-    B, SECONDS = 16, 12.0
+    B, SECONDS = batch, seconds
     T = int(SECONDS * 100)
     L = 48
     rng = np.random.RandomState(0)
@@ -101,10 +101,14 @@ if __name__ == '__main__':
     ap.add_argument('--fp32', action='store_true')
     ap.add_argument('--no-donate', action='store_true')
     ap.add_argument('--prng_impl', default='unsafe_rbg')
+    ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--seconds', type=float, default=12.0)
     args = ap.parse_args()
     if args.fp32:
         main(jnp.float32, 'fp32', donate=not args.no_donate,
-             prng_impl=args.prng_impl)
+             prng_impl=args.prng_impl, batch=args.batch,
+             seconds=args.seconds)
     else:
         main(jnp.bfloat16, 'bf16', donate=not args.no_donate,
-             prng_impl=args.prng_impl)
+             prng_impl=args.prng_impl, batch=args.batch,
+             seconds=args.seconds)

@@ -47,6 +47,13 @@ def test_ebranchformer_forward_and_train():
 
 
 def test_ebranchformer_streaming_matches_full():
+    """merge_conv_kernel=1 makes the merge conv pointwise, so chunked
+    decode must equal the full forward exactly (with kernel>1 the merge
+    conv is chunk-local — zero-padded per chunk like the reference's
+    streaming, ref e_branchformer/encoder_layer.py:130-134 — and
+    stream==full holds only to boundary effects; the stream==REFERENCE
+    guarantee for that case is test_branchformer_streaming_parity in
+    test_reference_parity_zoo.py)."""
     from tests.test_streaming import _EncWrap
     from wenet_tpu.models.transformer.streaming import (
         StreamingConfig, forward_chunk_by_chunk)
@@ -54,6 +61,7 @@ def test_ebranchformer_streaming_matches_full():
                                attention_heads=2, linear_units=64,
                                num_blocks=2, cgmlp_linear_units=64,
                                cgmlp_conv_kernel=7, causal=True,
+                               merge_conv_kernel=1,
                                use_dynamic_chunk=True, dropout_rate=0.0)
     rng = np.random.RandomState(0)
     T = 64
