@@ -101,6 +101,7 @@ def test_train_then_recognize(workdir):
         '--checkpoint', os.path.join(model_dir, 'final'),
         '--result_dir', result_dir,
         '--batch_size', '4', '--beam_size', '3',
+        '--ctc_weight', '0.3', '--reverse_weight', '0.3',
         '--modes', 'ctc_greedy_search', 'ctc_prefix_beam_search',
         'attention', 'attention_rescoring',
     ])
@@ -132,7 +133,7 @@ def test_train_then_recognize(workdir):
     pipe = {line.split()[0]: line.split()[1:] for line in open(
         os.path.join(pipe_dir, 'attention_rescoring', 'text'),
         encoding='utf8').read().strip().split('\n')}
-    assert set(pipe) == set(seq_rescoring)
+    assert pipe == seq_rescoring  # hypotheses bit-identical, not just keys
 
     # hlg decode over a python-built HLG (k2-parity path,
     # ref recognize.py:144-167 + tools/k2/make_hlg.sh)

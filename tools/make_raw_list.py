@@ -16,10 +16,16 @@ def main():
     parser.add_argument('text_file')
     parser.add_argument('output_file', nargs='?')
     args = parser.parse_args()
-    if args.wav_only and args.output_file is None:
+    if args.wav_only:
+        if args.output_file is not None:
+            parser.error('--wav_only takes exactly two positional '
+                         'args: wav.scp output.list')
         # wav_only: (wav.scp, data.list) two-arg form
         args.output_file = args.text_file
         args.text_file = None
+    elif args.output_file is None:
+        parser.error('output_file is required '
+                     '(usage: wav.scp text output.list)')
 
     wav_table = {}
     with open(args.wav_file, encoding='utf8') as f:

@@ -99,7 +99,24 @@ def _carr(dtype, seq):
 
 def flatten_context_graph(graph):
     """ContextGraph (utils/context_graph.py) -> flat arrays for the C++
-    searcher: (fail, node_score, output_score, token_score, trans)."""
+    searcher: (fail, node_score, output_score, token_score, trans).
+
+    The flat arrays are cached on the graph object: the trie is
+    immutable after construction, and batch_search_topk builds one
+    searcher per utterance — without the cache a B=16 batch re-walks
+    the full python trie 16 times per decode call."""
+    flat = getattr(graph, '_native_flat', None)
+    if flat is not None:
+        return flat
+    flat = _flatten_context_graph_impl(graph)
+    try:
+        graph._native_flat = flat
+    except AttributeError:
+        pass
+    return flat
+
+
+def _flatten_context_graph_impl(graph):
     n = graph.num_nodes + 1
     fail = np.zeros(n, np.int32)
     node_score = np.zeros(n, np.float32)
@@ -162,8 +179,6 @@ class NativeLm:
     (NgramLM, symbol_table) and attached to any number of searchers
     (read-only scoring, thread-safe)."""
 
-    _cache = {}
-
     def __init__(self, lm, symbol_table=None, vocab_size=0):
         lib = _load()
         assert lib is not None
@@ -190,10 +205,28 @@ class NativeLm:
 
     @classmethod
     def get(cls, lm, symbol_table=None, vocab_size=0):
-        key = (id(lm), id(symbol_table), int(vocab_size))
-        if key not in cls._cache:
-            cls._cache[key] = cls(lm, symbol_table, vocab_size)
-        return cls._cache[key]
+        """Cached build, stored ON the NgramLM object itself so the
+        flattened C++ copy (a) dies with the python LM — no unbounded
+        class-level growth under per-connection AsrDecoder creation —
+        and (b) can never be served to an unrelated LM whose id() was
+        recycled.  Reused across calls when the symbol mapping is
+        equal (serving rebuilds the dict per session) and the cached
+        vocab covers the requested one."""
+        if not vocab_size:
+            vocab_size = (max(symbol_table) + 1) if symbol_table else \
+                65536
+        ent = getattr(lm, '_native_lm_cache', None)
+        if ent is not None:
+            c_syms, c_vocab, native = ent
+            if c_vocab >= int(vocab_size) and c_syms == symbol_table:
+                return native
+        native = cls(lm, symbol_table, vocab_size)
+        try:
+            lm._native_lm_cache = (symbol_table, int(vocab_size),
+                                   native)
+        except AttributeError:
+            pass
+        return native
 
 
 class NativeCtcPrefixBeamSearch:
@@ -328,7 +361,13 @@ def batch_search_topk(vals: np.ndarray, ids: np.ndarray,
     (hyps, times, scores) triples (beam-sorted, like _collect)."""
     from concurrent.futures import ThreadPoolExecutor
     B = vals.shape[0]
-    lm_vocab = int(ids.max()) + 1 if lm is not None and ids.size else 0
+    # stable vocab: with a symbol_table NativeLm derives
+    # max(symbol_table)+1 itself (vocab_size=0) so every batch hits the
+    # same cached C++ LM; the ids.max() fallback only applies when no
+    # symbol mapping exists at all
+    lm_vocab = 0
+    if lm is not None and symbol_table is None and ids.size:
+        lm_vocab = int(ids.max()) + 1
 
     def one(b):
         s = NativeCtcPrefixBeamSearch(

@@ -174,6 +174,11 @@ def build_schedule(scheduler: str, scheduler_conf: dict,
         warmup = conf.get('warmup_steps')
         if warmup is None:
             warmup = int(conf.get('warmup_ratio', 0.0) * max_steps)
+        # hold_steps is accepted for config parity but is inert for the
+        # PLAIN policy: hold and post-hold both sit at base lr (the
+        # reference's plain WarmupHoldPolicy behaves the same,
+        # scheduler.py:203-284 — only decaying subclasses like
+        # NoamHoldAnnealing branch on hold_end)
         hold = conf.get('hold_steps')
         if hold is None:
             hold = int(conf.get('hold_ratio', 0.0) * max_steps)
