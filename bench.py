@@ -72,17 +72,30 @@ def bench_rescoring():
         'unit': 'audio_sec/sec/chip',
         'vs_baseline': round(throughput / 2000.0, 3),
     }
+    # MFU lower bound: XLA-counted FLOPs of the encoder+CTC+top-k
+    # program (the dominant device stage).  The (B, nbest) rescoring
+    # program's shapes are data-dependent (nbest length buckets), so
+    # its FLOPs are excluded — true utilization is slightly higher.
+    from wenet_tpu.utils.mfu import mfu, program_flops
+    enc_fn = runner._jitted.get(('_enc_ctc_topk', 10, 0.0, 0))
+    flops = (program_flops(enc_fn, runner.variables, feats, feats_lengths)
+             if enc_fn is not None else None)
+    if flops:
+        util = mfu(flops * iters / best_dt)
+        if util is not None:
+            out['mfu'] = round(util, 4)
+            out['mfu_note'] = 'encoder-program lower bound'
     print(json.dumps(out))
 
 
-def main():
+def main(batch: int = 16):
     from __graft_entry__ import _flagship_config
     from wenet_tpu.utils.init_model import init_model
 
     configs = _flagship_config()
     model, configs = init_model(None, configs)
 
-    B = 16
+    B = batch
     SECONDS = 15.0
     T = int(SECONDS * 100)  # 10ms frames
     input_dim = configs['input_dim']
@@ -151,4 +164,7 @@ if __name__ == '__main__':
     if '--mode' in sys.argv and 'rescoring' in sys.argv:
         bench_rescoring()
     else:
-        main()
+        batch = 16
+        if '--batch' in sys.argv:
+            batch = int(sys.argv[sys.argv.index('--batch') + 1])
+        main(batch)
