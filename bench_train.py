@@ -22,7 +22,8 @@ import numpy as np
 
 
 def main(dtype=jnp.bfloat16, label='bf16', donate=True, iters=10,
-         prng_impl='unsafe_rbg', batch=16, seconds=12.0):
+         prng_impl='unsafe_rbg', batch=16, seconds=12.0,
+         grad_ckpt=False):
     # threefry bit-generation costs ~45% of the step on TPU (measured:
     # 55.7 -> 30.8 ms/step); unsafe_rbg is the shipped train default
     jax.config.update('jax_default_prng_impl', prng_impl)
@@ -34,6 +35,8 @@ def main(dtype=jnp.bfloat16, label='bf16', donate=True, iters=10,
                                              make_train_step)
 
     configs = _flagship_config()
+    if grad_ckpt:
+        configs['encoder_conf']['gradient_checkpointing'] = True
     configs.setdefault('optim', 'adam')
     configs.setdefault('optim_conf', {'lr': 1e-3})
     configs.setdefault('scheduler', 'warmuplr')
@@ -103,12 +106,16 @@ if __name__ == '__main__':
     ap.add_argument('--prng_impl', default='unsafe_rbg')
     ap.add_argument('--batch', type=int, default=16)
     ap.add_argument('--seconds', type=float, default=12.0)
+    ap.add_argument('--grad_ckpt', action='store_true',
+                    help='remat encoder layers (recompute fwd in bwd: '
+                         'trades FLOPs for residual HBM traffic, '
+                         'enables larger batches)')
     args = ap.parse_args()
     if args.fp32:
         main(jnp.float32, 'fp32', donate=not args.no_donate,
              prng_impl=args.prng_impl, batch=args.batch,
-             seconds=args.seconds)
+             seconds=args.seconds, grad_ckpt=args.grad_ckpt)
     else:
         main(jnp.bfloat16, 'bf16', donate=not args.no_donate,
              prng_impl=args.prng_impl, batch=args.batch,
-             seconds=args.seconds)
+             seconds=args.seconds, grad_ckpt=args.grad_ckpt)
