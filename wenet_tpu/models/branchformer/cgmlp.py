@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.transformer.activations import get_activation
 
 
@@ -32,7 +33,7 @@ class ConvolutionalSpatialGatingUnit(nn.Module):
                             feature_group_count=n, name='conv')
         if self.use_linear_after_conv:
             self.linear = nn.Dense(n, name='linear')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def __call__(self, x: jax.Array,
                  cache: Optional[jax.Array] = None,

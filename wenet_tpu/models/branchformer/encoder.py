@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.branchformer.cgmlp import ConvolutionalGatingMLP
 from wenet_tpu.models.transformer.attention import (T_CACHE,
                                                     ATTENTION_CLASSES)
@@ -75,7 +76,7 @@ class BranchformerEncoderLayer(nn.Module):
             # degenerates away (ref encoder_layer.py:90-106); other
             # single-branch setups use Identity
             self.merge_proj = nn.Dense(self.size, name='merge_proj')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def _pool_weight(self, proj, wproj, x, mask_pad):
         score = jnp.swapaxes(proj(x), 1, 2) / self.size**0.5  # (B,1,T)

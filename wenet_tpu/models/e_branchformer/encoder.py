@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.branchformer.cgmlp import ConvolutionalGatingMLP
 from wenet_tpu.models.transformer.attention import (T_CACHE,
                                                     ATTENTION_CLASSES)
@@ -82,7 +83,7 @@ class EBranchformerEncoderLayer(nn.Module):
             feature_group_count=2 * self.size,
             name='depthwise_conv_fusion')
         self.merge_proj = nn.Dense(self.size, name='merge_proj')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def __call__(self, x, mask=None, pos_emb=None, mask_pad=None,
                  att_cache: Optional[T_CACHE] = None, cnn_cache=None,

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.transformer.activations import get_activation
 from wenet_tpu.models.transformer.attention import (
     ATTENTION_CLASSES, attention_core)
@@ -232,7 +233,7 @@ class StrideConformerEncoderLayer(nn.Module):
         self.norm_mha = nn.LayerNorm(epsilon=1e-5, name='norm_mha')
         self.norm_conv = nn.LayerNorm(epsilon=1e-5, name='norm_conv')
         self.norm_final = nn.LayerNorm(epsilon=1e-5, name='norm_final')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     @property
     def ff_scale(self):
@@ -609,7 +610,7 @@ class _GroupedConformerLayer(nn.Module):
         self.norm_mha = nn.LayerNorm(epsilon=1e-5, name='norm_mha')
         self.norm_conv = nn.LayerNorm(epsilon=1e-5, name='norm_conv')
         self.norm_final = nn.LayerNorm(epsilon=1e-5, name='norm_final')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     @property
     def ff_scale(self):

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 _ACTIVE: Optional[dict] = None
 
 
@@ -64,7 +65,7 @@ class LoRADense(nn.Module):
             lora_B = self.param('lora_B', nn.initializers.zeros,
                                 (self.features, self.r))
             scaling = self.alpha / self.r
-            xd = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            xd = Dropout(self.dropout)(x, deterministic=deterministic)
             y = y + (xd @ lora_A.T.astype(x.dtype)) @ \
                 lora_B.T.astype(x.dtype) * scaling
         return y

@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.transformer.attention import attention_core
 
 
@@ -39,7 +40,7 @@ class MultiHeadedAttentionSANM(nn.Module):
                                   padding='VALID',
                                   feature_group_count=self.n_feat,
                                   use_bias=False, name='fsmn_block')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def forward_fsmn(self, v: jax.Array, mask_pad: Optional[jax.Array],
                      deterministic: bool = True) -> jax.Array:
@@ -101,7 +102,7 @@ class DummyMultiHeadSANM(nn.Module):
                                   padding='VALID',
                                   feature_group_count=self.n_feat,
                                   use_bias=False, name='fsmn_block')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def __call__(self, query, key, value, mask=None, mask_pad=None,
                  pos_emb=None, cache=None, deterministic: bool = True):

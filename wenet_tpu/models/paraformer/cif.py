@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+from wenet_tpu.ops.dropout import Dropout
 def cif(hidden: jax.Array, alphas: jax.Array, threshold: float,
         max_out_len: int) -> Tuple[jax.Array, jax.Array]:
     """hidden: (B, T, D); alphas: (B, T) -> (frames (B, max_out_len, D),
@@ -94,7 +95,7 @@ class Cif(nn.Module):
                                   feature_group_count=groups,
                                   name='cif_conv1d')
         self.cif_output = nn.Dense(1, name='cif_output')
-        self.dropout_layer = nn.Dropout(self.dropout)
+        self.dropout_layer = Dropout(self.dropout)
 
     def compute_alphas(self, hidden: jax.Array, mask: jax.Array,
                        train: bool = False) -> jax.Array:

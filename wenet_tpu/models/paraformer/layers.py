@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.paraformer.attention import (DummyMultiHeadSANM,
                                                    MultiHeadAttentionCross,
                                                    MultiHeadedAttentionSANM)
@@ -145,7 +146,7 @@ class _AliParaformerEncoderLayer(nn.Module):
             dropout_rate=self.dropout_rate, name='feed_forward')
         self.norm1 = nn.LayerNorm(epsilon=1e-5, name='norm1')
         self.norm2 = nn.LayerNorm(epsilon=1e-5, name='norm2')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def __call__(self, x, mask, mask_pad, train: bool = False):
         det = not train
@@ -180,7 +181,7 @@ class PositionwiseFeedForwardDecoderSANM(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.Dense(self.hidden_units, name='w_1')(x)
-        h = nn.Dropout(self.dropout_rate)(jax.nn.relu(h),
+        h = Dropout(self.dropout_rate)(jax.nn.relu(h),
                                           deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, name='norm')(h)
         out_dim = self.idim if self.adim is None else self.adim
@@ -214,7 +215,7 @@ class SanmDecoderLayer(nn.Module):
         self.norm1 = nn.LayerNorm(epsilon=1e-12, name='norm1')
         self.norm2 = nn.LayerNorm(epsilon=1e-12, name='norm2')
         self.norm3 = nn.LayerNorm(epsilon=1e-12, name='norm3')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def __call__(self, tgt, tgt_mask, memory, memory_mask,
                  train: bool = False):

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.transformer.activations import get_activation
 from wenet_tpu.models.transformer.embedding import (
     sinusoidal_position_encoding)
@@ -157,7 +158,7 @@ class SqueezeFFN(nn.Module):
             scale, bias = _ada_params(self, self.idim, True)
             x = scale * x + bias
         h = nn.Dense(self.hidden_units, name='w_1')(x)
-        h = nn.Dropout(self.dropout_rate)(
+        h = Dropout(self.dropout_rate)(
             get_activation(self.activation)(h),
             deterministic=deterministic)
         return nn.Dense(self.idim, name='w_2')(h)
@@ -238,7 +239,7 @@ class DepthwiseConv2dSubsampling4(nn.Module):
         # and breaks checkpoint import
         x = x * math.sqrt(self.pos_enc_dim)
         x = nn.Dense(self.idim, name='input_proj')(x)
-        x = nn.Dropout(self.input_dropout_rate)(
+        x = Dropout(self.input_dropout_rate)(
             x, deterministic=deterministic)
         return x, pos_emb, x_mask[:, :, :-2:2][:, :, :-2:2]
 
@@ -316,7 +317,7 @@ class SqueezeformerEncoderLayer(nn.Module):
         self.layer_norm2 = nn.LayerNorm(name='layer_norm2')
         self.layer_norm3 = nn.LayerNorm(name='layer_norm3')
         self.layer_norm4 = nn.LayerNorm(name='layer_norm4')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def __call__(self, x, mask=None, pos_emb=None, mask_pad=None,
                  att_cache=None, cnn_cache=None, train: bool = False):

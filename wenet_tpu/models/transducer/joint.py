@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.transformer.activations import get_activation
 
 
@@ -38,7 +39,7 @@ class TransducerJoint(nn.Module):
             self.blank_pred_lin = nn.Dense(1, name='blank_pred_2')
             self.token_pred_lin = nn.Dense(self.vocab_size - 1,
                                            name='token_pred_2')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def __call__(self, enc_out: jax.Array, pred_out: jax.Array,
                  pre_project: bool = True,

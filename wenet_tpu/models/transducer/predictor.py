@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.transformer.activations import get_activation
 
 
@@ -68,7 +69,7 @@ class TorchLSTM(nn.Module):
                 rks.append(self._make_layer(k, in_dim, '_reverse'))
         self.layers = ks
         self.rlayers = rks
-        self.interlayer_dropout = nn.Dropout(self.dropout)
+        self.interlayer_dropout = Dropout(self.dropout)
 
     def _cell(self, p, x, h, c):
         gates = x @ p['weight_ih'].T + h @ p['weight_hh'].T
@@ -146,7 +147,7 @@ class RNNPredictor(nn.Module):
         assert self.rnn_type == 'lstm', 'only lstm predictor for now'
         self.embed = nn.Embed(self.voca_size, self.embed_size,
                               name='embed')
-        self.dropout_layer = nn.Dropout(self.embed_dropout)
+        self.dropout_layer = Dropout(self.embed_dropout)
         self.rnn = TorchLSTM(input_size=self.embed_size,
                              hidden_size=self.hidden_size,
                              num_layers=self.num_layers, bias=self.bias,
@@ -211,7 +212,7 @@ class EmbeddingPredictor(nn.Module):
             name='pos_embed')
         self.embed = nn.Embed(self.voca_size, self.embed_size,
                               name='embed')
-        self.embed_dropout_layer = nn.Dropout(self.embed_dropout)
+        self.embed_dropout_layer = Dropout(self.embed_dropout)
         self.ffn = nn.Dense(self.embed_size, name='ffn')
         self.norm = nn.LayerNorm(epsilon=self.layer_norm_epsilon,
                                  name='norm')
@@ -291,7 +292,7 @@ class ConvPredictor(nn.Module):
         assert self.embed_size == self.output_size
         self.embed = nn.Embed(self.voca_size, self.embed_size,
                               name='embed')
-        self.embed_dropout_layer = nn.Dropout(self.embed_dropout)
+        self.embed_dropout_layer = Dropout(self.embed_dropout)
         self.conv = nn.Conv(self.embed_size, (self.context_size,),
                             padding='VALID',
                             feature_group_count=self.embed_size,

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 T_CACHE = Tuple[jax.Array, jax.Array]  # (k, v): (B, h_kv, T, d_k)
 
 
@@ -143,7 +144,7 @@ class MultiHeadedAttention(nn.Module):
         self.linear_out = make_attention_dense(self.n_feat,
                                                self.query_bias,
                                                'linear_out', 'o', conf)
-        self.attn_dropout = nn.Dropout(self.dropout_rate)
+        self.attn_dropout = Dropout(self.dropout_rate)
 
     def _attn_dropout_fn(self, deterministic: bool):
         """Attention-weight dropout (ref attention.py:173). None when

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.utils.mask import make_pad_mask
 
 
@@ -23,7 +24,7 @@ class CTC(nn.Module):
 
     def setup(self):
         self.ctc_lo = nn.Dense(self.odim, name='ctc_lo')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def __call__(self, hs_pad: jax.Array, hlens: jax.Array,
                  ys_pad: jax.Array, ys_lens: jax.Array,

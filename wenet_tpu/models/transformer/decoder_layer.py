@@ -11,6 +11,7 @@ from typing import Optional, Tuple
 import jax
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.transformer.attention import (
     T_CACHE, MultiHeadedAttention, MultiHeadedCrossAttention)
 from wenet_tpu.models.transformer.norm import get_norm
@@ -75,7 +76,7 @@ class DecoderLayer(nn.Module):
                               self.norm_eps, name='norm2')
         self.norm3 = get_norm(self.layer_norm_type, self.size,
                               self.norm_eps, name='norm3')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def __call__(self, tgt, tgt_mask, memory, memory_mask,
                  train: bool = False):

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 IntLike = Union[int, jax.Array]
 
 
@@ -79,7 +80,7 @@ class PositionalEncoding(nn.Module):
                  ) -> Tuple[jax.Array, jax.Array]:
         pos_emb = self.position_encoding(offset, x.shape[1]).astype(x.dtype)
         x = x * math.sqrt(self.d_model) + pos_emb
-        drop = nn.Dropout(self.dropout_rate)
+        drop = Dropout(self.dropout_rate)
         return (drop(x, deterministic=deterministic),
                 drop(pos_emb, deterministic=deterministic))
 
@@ -91,7 +92,7 @@ class RelPositionalEncoding(PositionalEncoding):
     def __call__(self, x, offset: IntLike = 0, deterministic: bool = True):
         pos_emb = self.position_encoding(offset, x.shape[1]).astype(x.dtype)
         x = x * math.sqrt(self.d_model)
-        drop = nn.Dropout(self.dropout_rate)
+        drop = Dropout(self.dropout_rate)
         return (drop(x, deterministic=deterministic),
                 drop(pos_emb, deterministic=deterministic))
 
@@ -107,7 +108,7 @@ class WhisperPositionalEncoding(PositionalEncoding):
     def __call__(self, x, offset: IntLike = 0, deterministic: bool = True):
         pos_emb = self.position_encoding(offset, x.shape[1]).astype(x.dtype)
         x = x + pos_emb
-        drop = nn.Dropout(self.dropout_rate)
+        drop = Dropout(self.dropout_rate)
         return (drop(x, deterministic=deterministic),
                 drop(pos_emb, deterministic=deterministic))
 
@@ -131,7 +132,7 @@ class LearnablePositionalEncoding(nn.Module):
             pos_emb = jnp.take(pe[0], idx, axis=0)
         pos_emb = pos_emb.astype(x.dtype)
         x = x + pos_emb
-        drop = nn.Dropout(self.dropout_rate)
+        drop = Dropout(self.dropout_rate)
         return (drop(x, deterministic=deterministic),
                 drop(pos_emb, deterministic=deterministic))
 
@@ -147,7 +148,7 @@ class NoPositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, x, offset: IntLike = 0, deterministic: bool = True):
         pos_emb = jnp.zeros((1, x.shape[1], self.d_model), x.dtype)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x, pos_emb
 
 
@@ -168,5 +169,5 @@ class RopePositionalEncoding(nn.Module):
         ang = self.position_encoding(offset, x.shape[1])  # (B,T,hd/2)
         if self.scale:
             x = x * math.sqrt(self.d_model)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x, ang

@@ -5,6 +5,7 @@ from typing import Optional, Tuple
 import jax
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.transformer.attention import (T_CACHE,
                                                     ATTENTION_CLASSES)
 from wenet_tpu.models.transformer.convolution import ConvolutionModule
@@ -58,7 +59,7 @@ class TransformerEncoderLayer(nn.Module):
                               self.rms_norm_offset, name='norm1')
         self.norm2 = get_norm(self.layer_norm_type, self.size, self.norm_eps,
                               self.rms_norm_offset, name='norm2')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     def __call__(self, x, mask=None, pos_emb=None, mask_pad=None,
                  att_cache: Optional[T_CACHE] = None, cnn_cache=None,
@@ -154,7 +155,7 @@ class ConformerEncoderLayer(nn.Module):
                                 self.norm_eps, name='norm_ff')
         self.norm_mha = get_norm(self.layer_norm_type, self.size,
                                  self.norm_eps, name='norm_mha')
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = Dropout(self.dropout_rate)
 
     @property
     def ff_scale(self) -> float:

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.models.transformer.activations import get_activation
 
 
@@ -28,7 +29,7 @@ class PositionwiseFeedForward(nn.Module):
     def __call__(self, xs, deterministic: bool = True):
         act: Callable = get_activation(self.activation)
         h = nn.Dense(self.hidden_units, use_bias=self.bias, name='w_1')(xs)
-        h = nn.Dropout(self.dropout_rate)(act(h),
+        h = Dropout(self.dropout_rate)(act(h),
                                           deterministic=deterministic)
         return nn.Dense(self.idim, use_bias=self.bias, name='w_2')(h)
 
@@ -95,7 +96,7 @@ class GatedVariantsMLP(nn.Module):
         gate = act(nn.Dense(self.hidden_units, use_bias=False,
                             name='gate')(x))
         up = nn.Dense(self.hidden_units, use_bias=self.bias, name='w_1')(x)
-        fuse = nn.Dropout(self.dropout_rate)(gate * up,
+        fuse = Dropout(self.dropout_rate)(gate * up,
                                              deterministic=deterministic)
         return nn.Dense(self.idim, use_bias=self.bias, name='w_2')(fuse)
 

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from wenet_tpu.ops.dropout import Dropout
 IntLike = Union[int, jax.Array]
 
 
@@ -141,7 +142,7 @@ class LinearNoSubsampling(nn.Module):
                  deterministic: bool = True):
         x = nn.Dense(self.odim, name='out')(x)
         x = nn.LayerNorm(epsilon=1e-5, name='norm')(x)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = Dropout(self.dropout_rate)(x, deterministic=deterministic)
         x, pos_emb = self.pos_enc(x, offset, deterministic=deterministic)
         return x, pos_emb, x_mask
 
