@@ -88,6 +88,80 @@ def bench_rescoring():
     print(json.dumps(out))
 
 
+def _paraformer_bench_config():
+    """d512 12+6 SAN-M paraformer, V=5537 — reduced-depth
+    paraformer-large layout (the ref recipe
+    examples/aishell/paraformer/conf/train_paraformer.yaml is 50+16;
+    12+6 keeps bench compile time sane while preserving every
+    per-layer shape)."""
+    return {
+        'input_dim': 560, 'output_dim': 5537,
+        'lfr_conf': {'lfr_m': 7, 'lfr_n': 6},
+        'encoder': 'sanm_encoder',
+        'encoder_conf': {'output_size': 512, 'attention_heads': 4,
+                         'linear_units': 2048, 'num_blocks': 12,
+                         'kernel_size': 11},
+        'decoder': 'sanm_decoder',
+        'decoder_conf': {'attention_heads': 4, 'linear_units': 2048,
+                         'num_blocks': 6, 'att_layer_num': 6,
+                         'kernel_size': 11},
+        'predictor': 'cif_predictor',
+        'predictor_conf': {'idim': 512, 'l_order': 1, 'r_order': 1,
+                           'tail_threshold': 0.45},
+        'model': 'paraformer',
+        'model_conf': {'ctc_weight': 0.3, 'lsm_weight': 0.1},
+        'tokenizer_conf': {'special_tokens': {'<sos>': 5535,
+                                              '<eos>': 5536}},
+    }
+
+
+def bench_paraformer(batch: int = 16):
+    """Pipelined paraformer NAR greedy decode throughput
+    (AsrRunner.decode_paraformer_batches: fused device program for
+    batch i+1 ‖ background result fetch for batch i ‖ host finalize
+    for batch i-1)."""
+    from wenet_tpu.models.runner import AsrRunner
+    from wenet_tpu.utils.init_model import init_model, init_variables
+
+    configs = _paraformer_bench_config()
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    runner = AsrRunner(model, variables, dtype=jnp.bfloat16)
+
+    B = batch
+    SECONDS = 15.0
+    T = int(SECONDS * 100)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, 80), jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    iters = 8
+    batches = [(feats + 1e-3 * i, lens) for i in range(iters)]
+
+    list(runner.decode_paraformer_batches(batches[:1]))  # compile
+    best_dt = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = list(runner.decode_paraformer_batches(batches))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    assert len(outs) == iters
+    throughput = B * SECONDS * iters / best_dt
+    out = {
+        'metric': 'paraformer_greedy_throughput',
+        'value': round(throughput, 1),
+        'unit': 'audio_sec/sec/chip',
+        'vs_baseline': round(throughput / 2000.0, 3),
+    }
+    from wenet_tpu.utils.mfu import mfu, program_flops
+    fn = runner._jitted.get(('_paraformer_pipe', True))
+    flops = (program_flops(fn, runner.variables, feats, lens)
+             if fn is not None else None)
+    if flops:
+        util = mfu(flops * iters / best_dt)
+        if util is not None:
+            out['mfu'] = round(util, 4)
+    print(json.dumps(out))
+
+
 def main(batch: int = 16):
     from __graft_entry__ import _flagship_config
     from wenet_tpu.utils.init_model import init_model
@@ -163,6 +237,11 @@ def main(batch: int = 16):
 if __name__ == '__main__':
     if '--mode' in sys.argv and 'rescoring' in sys.argv:
         bench_rescoring()
+    elif '--mode' in sys.argv and 'paraformer' in sys.argv:
+        batch = 16
+        if '--batch' in sys.argv:
+            batch = int(sys.argv[sys.argv.index('--batch') + 1])
+        bench_paraformer(batch)
     else:
         batch = 16
         if '--batch' in sys.argv:

@@ -128,3 +128,141 @@ def test_funasr_converter_renames():
     assert 'pos_enc_class' not in cfg['encoder_conf']
     assert cfg['cif_predictor_conf'] == {'idim': 512}
     assert cfg['lfr_conf'] == {'lfr_m': 7, 'lfr_n': 6}
+
+
+def test_paraformer_pipelined_matches_sequential(paraformer_model):
+    """decode_paraformer_batches (dispatch-ahead pipeline, single fused
+    device program) must reproduce the sequential runner.decode results
+    batch for batch."""
+    model, variables = paraformer_model
+    from wenet_tpu.models.runner import AsrRunner
+    runner = AsrRunner(model, variables)
+    rng = np.random.RandomState(2)
+    batches = []
+    for i in range(3):
+        feats = rng.randn(2, 60, 40).astype(np.float32)
+        fl = np.asarray([60, 45 + i])
+        batches.append((feats, fl))
+
+    piped = list(runner.decode_paraformer_batches(batches))
+    assert len(piped) == len(batches)
+    for (feats, fl), got in zip(batches, piped):
+        ref = runner.decode(['paraformer_greedy_search'], feats,
+                            fl)['paraformer_greedy_search']
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            assert list(a.tokens) == list(b.tokens)
+            assert list(a.times) == list(b.times)
+            np.testing.assert_allclose(a.confidence, b.confidence,
+                                       rtol=1e-6)
+
+    piped_b = list(runner.decode_paraformer_batches(
+        batches, mode='paraformer_beam_search'))
+    for (feats, fl), got in zip(batches, piped_b):
+        ref = runner.decode(['paraformer_beam_search'], feats,
+                            fl)['paraformer_beam_search']
+        for a, b in zip(got, ref):
+            assert list(a.tokens) == list(b.tokens)
+            np.testing.assert_allclose(a.score, b.score, rtol=1e-6)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(runner.decode_paraformer_batches(batches, mode='nope'))
+
+
+def test_recognize_paraformer_pipelined_branch(paraformer_model,
+                                               tmp_path):
+    """bin/recognize.py with a paraformer-only mode takes the
+    dispatch-ahead pipelined branch; its written hypotheses must match
+    a sequential two-mode invocation of the same checkpoint."""
+    import json
+    import os
+    import yaml
+
+    from wenet_tpu.dataset.audio import write_wav
+    from wenet_tpu.utils.checkpoint import save_checkpoint
+    from wenet_tpu.bin.recognize import main as recognize_main
+
+    model, variables = paraformer_model
+    ckpt = str(tmp_path / 'model' / 'final')
+    save_checkpoint(variables, ckpt)
+
+    rng = np.random.RandomState(3)
+    entries = []
+    for i in range(6):
+        sr = 16000
+        wav = (0.2 * rng.randn(sr // 4 + 800 * i)).astype(np.float32)
+        path = tmp_path / f'utt{i}.wav'
+        write_wav(str(path), wav, sr)
+        entries.append({'key': f'utt{i}', 'wav': str(path), 'txt': 'ab'})
+    with open(tmp_path / 'data.list', 'w') as f:
+        for e in entries:
+            f.write(json.dumps(e) + '\n')
+    with open(tmp_path / 'units.txt', 'w') as f:
+        for i, s in enumerate(['<blank>', '<unk>', 'a', 'b']
+                              + [f't{k}' for k in range(44)]
+                              + ['<sos>', '<eos>']):
+            f.write(f'{s} {i}\n')
+
+    config = {
+        'input_dim': 280, 'output_dim': 50,
+        'lfr_conf': {'lfr_m': 7, 'lfr_n': 6},
+        'encoder': 'sanm_encoder',
+        'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                         'linear_units': 64, 'num_blocks': 2,
+                         'kernel_size': 7},
+        'decoder': 'sanm_decoder',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 64,
+                         'num_blocks': 2, 'att_layer_num': 2,
+                         'kernel_size': 7},
+        'model': 'paraformer',
+        'model_conf': {'ctc_weight': 0.3, 'lsm_weight': 0.1,
+                       'sampler': True, 'sampling_ratio': 0.75,
+                       'add_eos': True},
+        'predictor': 'cif_predictor',
+        'predictor_conf': {'idim': 32, 'l_order': 1, 'r_order': 1,
+                           'tail_threshold': 0.45},
+        'tokenizer': 'char',
+        'tokenizer_conf': {'symbol_table_path': str(tmp_path / 'units.txt'),
+                           'non_lang_syms_path': None,
+                           'special_tokens': {'<sos>': 48, '<eos>': 49}},
+        'dataset_conf': {
+            'filter_conf': {'max_length': 4000, 'min_length': 0},
+            'fbank_conf': {'num_mel_bins': 40, 'dither': 0.0},
+            'batch_conf': {'batch_type': 'static', 'batch_size': 2},
+            'shuffle': False, 'list_shuffle': False, 'sort': False,
+            'spec_aug': False,
+        },
+    }
+    with open(tmp_path / 'train.yaml', 'w') as f:
+        yaml.dump(config, f)
+
+    def run(result_dir, modes):
+        old = os.sys.argv
+        os.sys.argv = ['recognize.py', '--config',
+                       str(tmp_path / 'train.yaml'),
+                       '--test_data', str(tmp_path / 'data.list'),
+                       '--checkpoint', ckpt,
+                       '--result_dir', result_dir,
+                       '--batch_size', '2',
+                       '--modes'] + modes
+        try:
+            recognize_main()
+        finally:
+            os.sys.argv = old
+
+    seq_dir = str(tmp_path / 'seq')
+    # two modes -> generic sequential loop
+    run(seq_dir, ['paraformer_greedy_search', 'ctc_greedy_search'])
+    pipe_dir = str(tmp_path / 'pipe')
+    # single paraformer mode -> pipelined branch
+    run(pipe_dir, ['paraformer_greedy_search'])
+
+    def read(d):
+        path = os.path.join(d, 'paraformer_greedy_search', 'text')
+        lines = open(path, encoding='utf8').read().strip().split('\n')
+        return {line.split()[0]: line.split()[1:] for line in lines}
+
+    seq, pipe = read(seq_dir), read(pipe_dir)
+    assert len(seq) == 6
+    assert pipe == seq

@@ -178,6 +178,28 @@ def main():
             f.close()
         return
 
+    # paraformer-only batch decode: dispatch-ahead pipeline (fused
+    # device program || background fetch || host finalize)
+    if (len(runner_modes) == 1 and not hlg_modes and lm is None
+            and context_graph is None
+            and runner_modes[0] in ('paraformer_greedy_search',
+                                    'paraformer_beam_search')
+            and hasattr(model, 'forward_paraformer')):
+        mode = runner_modes[0]
+        batch_meta = []
+
+        def feed_pf():
+            for batch in test_dataset:
+                batch_meta.append(batch['keys'])
+                yield batch['feats'], batch['feats_lengths']
+
+        for hyps in runner.decode_paraformer_batches(feed_pf(),
+                                                     mode=mode):
+            write_results(batch_meta.pop(0), mode, hyps)
+        for f in files.values():
+            f.close()
+        return
+
     for batch_idx, batch in enumerate(test_dataset):
         keys = batch['keys']
         results = {}

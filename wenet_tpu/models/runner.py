@@ -459,6 +459,78 @@ class AsrRunner:
         return result
 
     # ------------------------------------------------------------------
+    def _paraformer_pipeline_fn(self, need_peaks: bool):
+        """ONE jitted program per batch for the pipelined NAR decode:
+        forward_paraformer + cif peaks + on-device argmax/log-prob
+        gather, returning only the small host-bound arrays (the
+        (B, L, V) decoder logits and the encoder output never leave
+        the device)."""
+        key = ('_paraformer_pipe', bool(need_peaks))
+        if key not in self._jitted:
+            model = self.model
+
+            def fn(variables, feats, feats_lengths):
+                res = model.apply(variables, feats, feats_lengths,
+                                  method=model.forward_paraformer)
+                ids = jnp.argmax(res['decoder_out'], -1)
+                lp = jnp.take_along_axis(res['decoder_out'],
+                                         ids[..., None], -1)[..., 0]
+                peaks = None
+                if need_peaks:
+                    peaks = model.apply(variables, res['tp_alphas'],
+                                        res['decoder_out_lens'],
+                                        method=model.forward_cif_peaks)
+                return ids, lp, res['decoder_out_lens'], peaks
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def decode_paraformer_batches(self, batches,
+                                  mode: str = 'paraformer_greedy_search'):
+        """Software-pipelined paraformer NAR decode over an iterable of
+        (feats, feats_lengths) batches; yields one List[DecodeResult]
+        per batch, in order (ref analog: recognize.py's per-batch loop
+        around paraformer.py:362-420).
+
+        The sequential path (`decode`) pays device program + result
+        fetch + host finalize in series per batch; here the device
+        program for batch i+1 is dispatched while batch i's (ids,
+        log-probs, lens, peaks) fetch rides a background thread and
+        batch i-1 finalizes on host.  Results are identical to the
+        sequential path (tested in test_paraformer.py)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from wenet_tpu.models.paraformer.search import (
+            paraformer_beam_search_ids, paraformer_greedy_search_ids)
+
+        if mode not in ('paraformer_greedy_search',
+                        'paraformer_beam_search'):
+            raise ValueError(
+                f'unsupported pipelined paraformer mode: {mode}')
+        need_peaks = mode == 'paraformer_greedy_search'
+        fn = self._paraformer_pipeline_fn(need_peaks)
+        finalize = (paraformer_greedy_search_ids if need_peaks
+                    else paraformer_beam_search_ids)
+        ex = ThreadPoolExecutor(max_workers=1)
+        q = deque()
+        try:
+            for feats, feats_lengths in batches:
+                dev = fn(self.variables, jnp.asarray(feats),
+                         jnp.asarray(feats_lengths))
+                q.append(ex.submit(jax.device_get, dev))
+                # keep ≤2 batches in flight: one executing on device,
+                # one fetching, while the oldest finalizes on host
+                while len(q) > 2:
+                    ids, lp, lens, peaks = q.popleft().result()
+                    yield finalize(ids, lp, lens, cif_peaks=peaks)
+            while q:
+                ids, lp, lens, peaks = q.popleft().result()
+                yield finalize(ids, lp, lens, cif_peaks=peaks)
+        finally:
+            ex.shutdown(wait=False)
+
+    # ------------------------------------------------------------------
     def _decode_paraformer(self, methods, feats, feats_lengths,
                            beam_size, context_graph, blank_id,
                            blank_penalty):
