@@ -88,6 +88,54 @@ def bench_rescoring():
     print(json.dumps(out))
 
 
+def bench_greedy_runner(batch: int = 16):
+    """The USER-FACING greedy path: AsrRunner.decode_ctc_greedy_batches
+    (what recognize.py runs for greedy-only jobs), including the host
+    dedup+blank-removal stage — vs the raw-program number from main()."""
+    from __graft_entry__ import _flagship_config
+    from wenet_tpu.models.runner import AsrRunner
+    from wenet_tpu.utils.init_model import init_model, init_variables
+
+    configs = _flagship_config()
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    runner = AsrRunner(model, variables, dtype=jnp.bfloat16)
+
+    B = batch
+    SECONDS = 15.0
+    T = int(SECONDS * 100)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, configs['input_dim']),
+                        jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    iters = 12
+    batches = [(feats + 1e-3 * i, lens) for i in range(iters)]
+
+    list(runner.decode_ctc_greedy_batches(batches[:1]))  # compile
+    best_dt = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = list(runner.decode_ctc_greedy_batches(batches))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    assert len(outs) == iters
+    throughput = B * SECONDS * iters / best_dt
+    out = {
+        'metric': 'ctc_greedy_runner_throughput',
+        'value': round(throughput, 1),
+        'unit': 'audio_sec/sec/chip',
+        'vs_baseline': round(throughput / 2000.0, 3),
+    }
+    from wenet_tpu.utils.mfu import mfu, program_flops
+    fn = runner._jitted.get(('_ctc_greedy_pipe', 0.0, 0))
+    flops = (program_flops(fn, runner.variables, feats, lens)
+             if fn is not None else None)
+    if flops:
+        util = mfu(flops * iters / best_dt)
+        if util is not None:
+            out['mfu'] = round(util, 4)
+    print(json.dumps(out))
+
+
 def _paraformer_bench_config():
     """d512 12+6 SAN-M paraformer, V=5537 — reduced-depth
     paraformer-large layout (the ref recipe
@@ -237,6 +285,11 @@ def main(batch: int = 16):
 if __name__ == '__main__':
     if '--mode' in sys.argv and 'rescoring' in sys.argv:
         bench_rescoring()
+    elif '--mode' in sys.argv and 'greedy_runner' in sys.argv:
+        batch = 16
+        if '--batch' in sys.argv:
+            batch = int(sys.argv[sys.argv.index('--batch') + 1])
+        bench_greedy_runner(batch)
     elif '--mode' in sys.argv and 'paraformer' in sys.argv:
         batch = 16
         if '--batch' in sys.argv:

@@ -135,6 +135,47 @@ def test_train_then_recognize(workdir):
         encoding='utf8').read().strip().split('\n')}
     assert pipe == seq_rescoring  # hypotheses bit-identical, not just keys
 
+    # greedy-ONLY invocation takes the pipelined ctc-greedy batch path
+    # (recognize.py decode_ctc_greedy_batches) — hypotheses must match
+    # the sequential multi-mode run above exactly
+    seq_greedy = {line.split()[0]: line.split()[1:] for line in open(
+        os.path.join(result_dir, 'ctc_greedy_search', 'text'),
+        encoding='utf8').read().strip().split('\n')}
+    gpipe_dir = str(workdir / 'results_greedy_pipelined')
+    _run_main(recognize_main, [
+        'recognize.py', '--config',
+        os.path.join(model_dir, 'train.yaml'),
+        '--test_data', str(workdir / 'data.list'),
+        '--checkpoint', os.path.join(model_dir, 'final'),
+        '--result_dir', gpipe_dir,
+        '--batch_size', '4',
+        '--modes', 'ctc_greedy_search',
+    ])
+    gpipe = {line.split()[0]: line.split()[1:] for line in open(
+        os.path.join(gpipe_dir, 'ctc_greedy_search', 'text'),
+        encoding='utf8').read().strip().split('\n')}
+    assert gpipe == seq_greedy
+
+    # prefix-beam-ONLY invocation takes the pipelined beam batch path
+    # (recognize.py decode_prefix_beam_batches)
+    seq_beam = {line.split()[0]: line.split()[1:] for line in open(
+        os.path.join(result_dir, 'ctc_prefix_beam_search', 'text'),
+        encoding='utf8').read().strip().split('\n')}
+    bpipe_dir = str(workdir / 'results_beam_pipelined')
+    _run_main(recognize_main, [
+        'recognize.py', '--config',
+        os.path.join(model_dir, 'train.yaml'),
+        '--test_data', str(workdir / 'data.list'),
+        '--checkpoint', os.path.join(model_dir, 'final'),
+        '--result_dir', bpipe_dir,
+        '--batch_size', '4', '--beam_size', '3',
+        '--modes', 'ctc_prefix_beam_search',
+    ])
+    bpipe = {line.split()[0]: line.split()[1:] for line in open(
+        os.path.join(bpipe_dir, 'ctc_prefix_beam_search', 'text'),
+        encoding='utf8').read().strip().split('\n')}
+    assert bpipe == seq_beam
+
     # hlg decode over a python-built HLG (k2-parity path,
     # ref recognize.py:144-167 + tools/k2/make_hlg.sh)
     from wenet_tpu.lm.build_graph import build_hlg

@@ -178,6 +178,50 @@ def main():
             f.close()
         return
 
+    # ctc-greedy-only batch decode: dispatch-ahead pipeline (fused
+    # encoder+CTC+argmax program || background fetch || host dedup)
+    if (runner_modes == ['ctc_greedy_search'] and not hlg_modes
+            and not args.simulate_streaming
+            and args.decoding_chunk_size < 0 and lm is None
+            and type(model).__name__ == 'ASRModel'):
+        batch_meta = []
+
+        def feed_greedy():
+            for batch in test_dataset:
+                batch_meta.append(batch['keys'])
+                yield batch['feats'], batch['feats_lengths']
+
+        for hyps in runner.decode_ctc_greedy_batches(
+                feed_greedy(), blank_id=blank_id,
+                blank_penalty=args.blank_penalty):
+            write_results(batch_meta.pop(0), 'ctc_greedy_search', hyps)
+        for f in files.values():
+            f.close()
+        return
+
+    # prefix-beam-only batch decode: dispatch-ahead pipeline (device
+    # encoder+CTC+top-k || background top-k fetch || host C++ beam)
+    if (runner_modes == ['ctc_prefix_beam_search'] and not hlg_modes
+            and not args.simulate_streaming
+            and args.decoding_chunk_size < 0 and lm is None
+            and type(model).__name__ == 'ASRModel'):
+        batch_meta = []
+
+        def feed_beam():
+            for batch in test_dataset:
+                batch_meta.append(batch['keys'])
+                yield batch['feats'], batch['feats_lengths']
+
+        for hyps in runner.decode_prefix_beam_batches(
+                feed_beam(), beam_size=args.beam_size,
+                blank_id=blank_id, blank_penalty=args.blank_penalty,
+                context_graph=context_graph):
+            write_results(batch_meta.pop(0), 'ctc_prefix_beam_search',
+                          hyps)
+        for f in files.values():
+            f.close()
+        return
+
     # paraformer-only batch decode: dispatch-ahead pipeline (fused
     # device program || background fetch || host finalize)
     if (len(runner_modes) == 1 and not hlg_modes and lm is None

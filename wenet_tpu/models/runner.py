@@ -370,7 +370,10 @@ class AsrRunner:
                     infos=infos)['attention_rescoring']
             return
 
-        ex = ThreadPoolExecutor(max_workers=1)
+        # two workers so the top-k fetch (stage 1→2 hand-off) and the
+        # rescore-output fetch (stage 3) overlap instead of queuing on
+        # one thread — each costs a full link RTT
+        ex = ThreadPoolExecutor(max_workers=2)
         enc_q = deque()   # dispatched encode stages awaiting beam
         res_q = deque()   # dispatched rescore stages awaiting finalize
         try:
@@ -459,6 +462,154 @@ class AsrRunner:
         return result
 
     # ------------------------------------------------------------------
+    def _ctc_greedy_pipeline_fn(self, blank_penalty: float,
+                                blank_id: int):
+        """Encoder + CTC log-softmax + argmax as ONE program — only the
+        (B, T') ids and lengths ever reach the host."""
+        key = ('_ctc_greedy_pipe', float(blank_penalty), int(blank_id))
+        if key not in self._jitted:
+            model = self.model
+
+            def fn(variables, feats, feats_lengths):
+                v = self._maybe_dequant(variables)
+                eo, em = model.apply(v, feats, feats_lengths, -1, -1,
+                                     method=model.forward_encoder)
+                logp = model.apply(v, eo, blank_penalty, blank_id,
+                                   method=model.ctc_logprobs)
+                ids = jnp.argmax(logp, axis=-1)
+                lens = jnp.sum(em[:, 0, :], axis=-1)
+                ids = jnp.where(
+                    jnp.arange(ids.shape[1])[None, :] < lens[:, None],
+                    ids, blank_id)
+                return ids, lens
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def decode_ctc_greedy_batches(self, batches, blank_id: int = 0,
+                                  blank_penalty: float = 0.0):
+        """Software-pipelined CTC greedy decode over an iterable of
+        (feats, feats_lengths) batches; yields one List[DecodeResult]
+        per batch, in order.  Device program for batch i+1 dispatched
+        while batch i's (B, T') argmax ids fetch rides a background
+        thread and batch i-1 dedups on host.  Results identical to
+        decode(['ctc_greedy_search'], ...) (tested); recognize.py rides
+        this for greedy-only runs (ref analog: recognize.py's per-batch
+        loop around search.py:109-124)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from wenet_tpu.models.transformer.search import (
+            DecodeResult, remove_duplicates_and_blank)
+
+        fn = self._ctc_greedy_pipeline_fn(blank_penalty, blank_id)
+        # each (B, T') ids fetch costs a full link RTT; with one worker
+        # the fetches serialize and bound the whole pipeline (measured:
+        # 8.3k audio-sec/s vs 29k for the raw program), so run several
+        # concurrently — results stay ordered through the futures queue
+        ex = ThreadPoolExecutor(max_workers=4)
+        q = deque()
+
+        def finalize(ids):
+            return [DecodeResult(
+                remove_duplicates_and_blank(list(h), blank_id))
+                for h in ids]
+
+        try:
+            for feats, feats_lengths in batches:
+                dev = fn(self.variables, jnp.asarray(feats),
+                         jnp.asarray(feats_lengths))
+                q.append(ex.submit(jax.device_get, dev))
+                while len(q) > 6:
+                    yield finalize(q.popleft().result()[0])
+            while q:
+                yield finalize(q.popleft().result()[0])
+        finally:
+            ex.shutdown(wait=False)
+
+    # ------------------------------------------------------------------
+    def _enc_topk_pipeline_fn(self, beam_size: int,
+                              blank_penalty: float, blank_id: int):
+        """Encoder + CTC log-softmax + per-frame top-k as ONE program,
+        without the encoder-out output buffer (`_encode_ctc_topk` keeps
+        it for the rescoring program; prefix-beam-only decode never
+        needs it on host or device again)."""
+        key = ('_enc_topk_pipe', int(beam_size), float(blank_penalty),
+               int(blank_id))
+        if key not in self._jitted:
+            model = self.model
+
+            def fn(variables, feats, feats_lengths):
+                v = self._maybe_dequant(variables)
+                eo, em = model.apply(v, feats, feats_lengths, -1, -1,
+                                     method=model.forward_encoder)
+                logp = model.apply(v, eo, blank_penalty, blank_id,
+                                   method=model.ctc_logprobs)
+                _, topk = jax.lax.scan(
+                    lambda _, f: (0., jax.lax.top_k(f, beam_size)),
+                    0., jnp.swapaxes(logp, 0, 1))
+                lens = jnp.sum(em[:, 0, :], axis=-1)
+                return topk[0], topk[1], lens
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def decode_prefix_beam_batches(self, batches, beam_size: int = 10,
+                                   blank_id: int = 0,
+                                   blank_penalty: float = 0.0,
+                                   context_graph=None):
+        """Software-pipelined CTC prefix beam search over an iterable
+        of (feats, feats_lengths) batches; yields one
+        List[DecodeResult] per batch, in order.  Device encoder+CTC+
+        top-k for batch i+1 ‖ background top-k fetch for batch i ‖
+        host C++ trie beam for batch i-1 (context biasing rides the
+        C++ hot loop).  Results identical to
+        decode(['ctc_prefix_beam_search'], ...) (tested)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from wenet_tpu.runtime import native_beam
+
+        if not native_beam.available():
+            for feats, feats_lengths in batches:
+                yield self.decode(
+                    ['ctc_prefix_beam_search'], feats, feats_lengths,
+                    beam_size=beam_size, blank_id=blank_id,
+                    blank_penalty=blank_penalty,
+                    context_graph=context_graph,
+                )['ctc_prefix_beam_search']
+            return
+
+        fn = self._enc_topk_pipeline_fn(beam_size, blank_penalty,
+                                        blank_id)
+        # overlapped top-k fetches (see decode_ctc_greedy_batches); the
+        # host C++ beam in finalize() stays the steady-state stage
+        ex = ThreadPoolExecutor(max_workers=4)
+        q = deque()
+
+        def finalize(fetched):
+            vals, ids, lens = fetched
+            outs = native_beam.batch_search_topk(
+                vals.swapaxes(0, 1), ids.swapaxes(0, 1), lens,
+                beam_size, blank_id, context_graph=context_graph)
+            return [DecodeResult(tokens=h[0], score=s[0], times=t[0],
+                                 nbest=h, nbest_scores=s,
+                                 nbest_times=t)
+                    for h, t, s in outs]
+
+        try:
+            for feats, feats_lengths in batches:
+                dev = fn(self.variables, jnp.asarray(feats),
+                         jnp.asarray(feats_lengths))
+                q.append(ex.submit(jax.device_get, dev))
+                while len(q) > 6:
+                    yield finalize(q.popleft().result())
+            while q:
+                yield finalize(q.popleft().result())
+        finally:
+            ex.shutdown(wait=False)
+
+    # ------------------------------------------------------------------
     def _paraformer_pipeline_fn(self, need_peaks: bool):
         """ONE jitted program per batch for the pipelined NAR decode:
         forward_paraformer + cif peaks + on-device argmax/log-prob
@@ -512,16 +663,18 @@ class AsrRunner:
         fn = self._paraformer_pipeline_fn(need_peaks)
         finalize = (paraformer_greedy_search_ids if need_peaks
                     else paraformer_beam_search_ids)
-        ex = ThreadPoolExecutor(max_workers=1)
+        # several fetch workers: each result fetch costs a full link
+        # RTT and with one worker the fetches serialize into the
+        # pipeline bound (see decode_ctc_greedy_batches); ordering is
+        # preserved by the futures queue
+        ex = ThreadPoolExecutor(max_workers=4)
         q = deque()
         try:
             for feats, feats_lengths in batches:
                 dev = fn(self.variables, jnp.asarray(feats),
                          jnp.asarray(feats_lengths))
                 q.append(ex.submit(jax.device_get, dev))
-                # keep ≤2 batches in flight: one executing on device,
-                # one fetching, while the oldest finalizes on host
-                while len(q) > 2:
+                while len(q) > 6:
                     ids, lp, lens, peaks = q.popleft().result()
                     yield finalize(ids, lp, lens, cif_peaks=peaks)
             while q:
