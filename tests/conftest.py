@@ -30,6 +30,7 @@ SLOW_TESTS = {
     'test_dummy_rows_keep_loss_finite_and_scaled',
     'test_paraformer_loss',
     'test_train_then_recognize',
+    'test_recognize_paraformer_pipelined_branch',
     'test_dryrun_multichip_8dev',
     'test_quantized_runner_matches_fp',
     'test_encoder_grad_flows',

@@ -176,6 +176,26 @@ def test_train_then_recognize(workdir):
         encoding='utf8').read().strip().split('\n')}
     assert bpipe == seq_beam
 
+    # attention-ONLY invocation takes the pipelined AR-beam batch path
+    # (recognize.py decode_attention_batches)
+    seq_att = {line.split()[0]: line.split()[1:] for line in open(
+        os.path.join(result_dir, 'attention', 'text'),
+        encoding='utf8').read().strip().split('\n')}
+    apipe_dir = str(workdir / 'results_attention_pipelined')
+    _run_main(recognize_main, [
+        'recognize.py', '--config',
+        os.path.join(model_dir, 'train.yaml'),
+        '--test_data', str(workdir / 'data.list'),
+        '--checkpoint', os.path.join(model_dir, 'final'),
+        '--result_dir', apipe_dir,
+        '--batch_size', '4', '--beam_size', '3',
+        '--modes', 'attention',
+    ])
+    apipe = {line.split()[0]: line.split()[1:] for line in open(
+        os.path.join(apipe_dir, 'attention', 'text'),
+        encoding='utf8').read().strip().split('\n')}
+    assert apipe == seq_att
+
     # hlg decode over a python-built HLG (k2-parity path,
     # ref recognize.py:144-167 + tools/k2/make_hlg.sh)
     from wenet_tpu.lm.build_graph import build_hlg

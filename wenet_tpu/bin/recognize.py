@@ -199,6 +199,30 @@ def main():
             f.close()
         return
 
+    # attention-only batch decode (incl. whisper prompts):
+    # dispatch-ahead pipeline (encoder + while_loop beam programs ||
+    # background fetch || host prompt/eos strip)
+    if (runner_modes == ['attention'] and not hlg_modes
+            and not args.simulate_streaming
+            and args.decoding_chunk_size < 0 and lm is None
+            and type(model).__name__ in ('ASRModel', 'Whisper')):
+        batch_meta = []
+
+        def feed_att():
+            for batch in test_dataset:
+                batch_meta.append(batch['keys'])
+                yield (batch['feats'], batch['feats_lengths'],
+                       {'tasks': batch['tasks'],
+                        'langs': batch['langs']})
+
+        for hyps in runner.decode_attention_batches(
+                feed_att(), beam_size=args.beam_size,
+                length_penalty=args.length_penalty):
+            write_results(batch_meta.pop(0), 'attention', hyps)
+        for f in files.values():
+            f.close()
+        return
+
     # prefix-beam-only batch decode: dispatch-ahead pipeline (device
     # encoder+CTC+top-k || background top-k fetch || host C++ beam)
     if (runner_modes == ['ctc_prefix_beam_search'] and not hlg_modes

@@ -610,6 +610,47 @@ class AsrRunner:
             ex.shutdown(wait=False)
 
     # ------------------------------------------------------------------
+    def decode_attention_batches(self, batches, beam_size: int = 10,
+                                 length_penalty: float = 0.0):
+        """Software-pipelined AR attention beam decode over an iterable
+        of (feats, feats_lengths) or (feats, feats_lengths, infos)
+        batches (infos = whisper-style {'tasks': [...], 'langs': [...]}
+        prompts); yields one List[DecodeResult] per batch, in order.
+        Encoder + while_loop beam programs for batch i+1 dispatch while
+        batch i's (hyps, scores) fetch rides the worker pool and batch
+        i-1 strips prompts on host.  Results identical to
+        decode(['attention'], ...) (tested); recognize.py rides this
+        for attention-only runs (incl. whisper)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from wenet_tpu.models.transformer.search import (
+            attention_beam_dispatch, attention_beam_finalize)
+
+        ex = ThreadPoolExecutor(max_workers=4)
+        q = deque()
+        try:
+            for item in batches:
+                feats, feats_lengths = item[0], item[1]
+                infos = item[2] if len(item) > 2 else None
+                eo, em = self.forward_encoder(jnp.asarray(feats),
+                                              jnp.asarray(feats_lengths))
+                dev, plen = attention_beam_dispatch(
+                    self.model, self._variables_fp(), eo, em,
+                    beam_size, length_penalty, infos)
+                q.append((plen, ex.submit(jax.device_get, dev)))
+                while len(q) > 6:
+                    plen0, fut = q.popleft()
+                    yield attention_beam_finalize(self.model,
+                                                  fut.result(), plen0)
+            while q:
+                plen0, fut = q.popleft()
+                yield attention_beam_finalize(self.model, fut.result(),
+                                              plen0)
+        finally:
+            ex.shutdown(wait=False)
+
+    # ------------------------------------------------------------------
     def _paraformer_pipeline_fn(self, need_peaks: bool):
         """ONE jitted program per batch for the pipelined NAR decode:
         forward_paraformer + cif peaks + on-device argmax/log-prob

@@ -485,6 +485,45 @@ def _attention_beam_program(model, beam_size: int, length_penalty: float,
 _BEAM_CACHE: Dict[Tuple, object] = {}
 
 
+def attention_beam_dispatch(
+    model,
+    variables,
+    encoder_out: jax.Array,
+    encoder_mask: jax.Array,
+    beam_size: int = 10,
+    length_penalty: float = 0.0,
+    infos: Optional[Dict[str, List[str]]] = None,
+):
+    """Device stage of attention_beam_search: dispatches the jitted
+    while_loop beam program and returns ((hyps, scores) device arrays,
+    prefix_len) without blocking — so batch pipelines can overlap the
+    fetch (AsrRunner.decode_attention_batches)."""
+    B = encoder_out.shape[0]
+    prefix = _decode_prefix(model, B, beam_size, infos)
+    prefix_len = prefix.shape[1]
+    key = (id(model), beam_size, float(length_penalty), prefix_len)
+    if key not in _BEAM_CACHE:
+        _BEAM_CACHE[key] = _attention_beam_program(
+            model, beam_size, length_penalty, prefix_len)
+    dev = _BEAM_CACHE[key](variables, encoder_out, encoder_mask,
+                           jnp.asarray(prefix))
+    return dev, prefix_len
+
+
+def attention_beam_finalize(model, fetched,
+                            prefix_len: int) -> List[DecodeResult]:
+    """Host stage: strip the prompt prefix and eos padding."""
+    best_hyps, best_scores = fetched
+    best_hyps = np.asarray(best_hyps)
+    best_scores = np.asarray(best_scores)
+    eos = model.eos
+    results = []
+    for b in range(best_hyps.shape[0]):
+        hyp = [int(x) for x in best_hyps[b, prefix_len:] if int(x) != eos]
+        results.append(DecodeResult(hyp, score=float(best_scores[b])))
+    return results
+
+
 def attention_beam_search(
     model,
     variables,
@@ -495,24 +534,11 @@ def attention_beam_search(
     infos: Optional[Dict[str, List[str]]] = None,
 ) -> List[DecodeResult]:
     """ref: search.py:252-371 (one jitted while_loop program)."""
-    B = encoder_out.shape[0]
-    prefix = _decode_prefix(model, B, beam_size, infos)
-    prefix_len = prefix.shape[1]
-    key = (id(model), beam_size, float(length_penalty), prefix_len)
-    if key not in _BEAM_CACHE:
-        _BEAM_CACHE[key] = _attention_beam_program(
-            model, beam_size, length_penalty, prefix_len)
-    best_hyps, best_scores = _BEAM_CACHE[key](
-        variables, encoder_out, encoder_mask, jnp.asarray(prefix))
-    best_hyps = np.asarray(best_hyps)
-    best_scores = np.asarray(best_scores)
-
-    eos = model.eos
-    results = []
-    for b in range(B):
-        hyp = [int(x) for x in best_hyps[b, prefix_len:] if int(x) != eos]
-        results.append(DecodeResult(hyp, score=float(best_scores[b])))
-    return results
+    dev, prefix_len = attention_beam_dispatch(
+        model, variables, encoder_out, encoder_mask, beam_size,
+        length_penalty, infos)
+    return attention_beam_finalize(model, jax.device_get(dev),
+                                   prefix_len)
 
 
 def _decode_prefix(model, B, N, infos):
