@@ -36,15 +36,29 @@ def lfr(input: jax.Array, input_lens: jax.Array, m: int = 7, n: int = 6
                                 (jnp.ceil(input_lens / n).astype(
                                     input_lens.dtype) - 1)), 0)) // n
     # per (output frame i, stack slot j): source index i*n - left + j,
-    # clamped to [0, len-1] (head pad = frame 0, tail pad = last frame)
+    # head pad = frame 0, tail pad = last VALID frame.  The stacking
+    # itself uses STATIC strided slices (pure data movement XLA can
+    # fuse/copy-elide, vs a batch-dependent take_along_axis that
+    # lowers to a generic dynamic gather); only the replicate-last-
+    # frame tail is a dynamic fix-up.
+    pad_tail = (n_lfr - 1) * n - left + (m - 1) - T + 1
+    x = input
+    if left > 0:
+        x = jnp.concatenate(
+            [jnp.repeat(x[:, :1], left, axis=1), x], axis=1)
+    if pad_tail > 0:
+        x = jnp.concatenate(
+            [x, jnp.zeros((B, pad_tail, D), x.dtype)], axis=1)
+    cols = [x[:, j:j + n_lfr * n:n, :] for j in range(m)]
+    out = jnp.stack(cols, axis=2)  # (B, n_lfr, m, D)
     idx = (jnp.arange(n_lfr)[:, None] * n - left +
            jnp.arange(m)[None, :])  # (n_lfr, m)
-    last = (input_lens - 1)[:, None, None]
-    b_idx = jnp.clip(idx[None, :, :], 0, last)  # (B, n_lfr, m)
-    gathered = jnp.take_along_axis(
-        input, b_idx.reshape(B, n_lfr * m, 1), axis=1)
-    out = gathered.reshape(B, n_lfr, m * D)
-    return out, new_len.astype(input_lens.dtype)
+    last = jnp.maximum(input_lens - 1, 0)  # (B,)
+    over = idx[None, :, :] > last[:, None, None]  # (B, n_lfr, m)
+    last_frame = jnp.take_along_axis(
+        input, last[:, None, None], axis=1)  # (B, 1, D)
+    out = jnp.where(over[..., None], last_frame[:, None, :, :], out)
+    return out.reshape(B, n_lfr, m * D), new_len.astype(input_lens.dtype)
 
 
 class SanmEncoder(nn.Module):
