@@ -283,20 +283,14 @@ def main(batch: int = 16):
 
 
 if __name__ == '__main__':
+    batch = 16
+    if '--batch' in sys.argv:
+        batch = int(sys.argv[sys.argv.index('--batch') + 1])
     if '--mode' in sys.argv and 'rescoring' in sys.argv:
         bench_rescoring()
     elif '--mode' in sys.argv and 'greedy_runner' in sys.argv:
-        batch = 16
-        if '--batch' in sys.argv:
-            batch = int(sys.argv[sys.argv.index('--batch') + 1])
         bench_greedy_runner(batch)
     elif '--mode' in sys.argv and 'paraformer' in sys.argv:
-        batch = 16
-        if '--batch' in sys.argv:
-            batch = int(sys.argv[sys.argv.index('--batch') + 1])
         bench_paraformer(batch)
     else:
-        batch = 16
-        if '--batch' in sys.argv:
-            batch = int(sys.argv[sys.argv.index('--batch') + 1])
         main(batch)

@@ -268,42 +268,18 @@ def test_recognize_paraformer_pipelined_branch(paraformer_model,
     assert pipe == seq
 
 
-@pytest.mark.parametrize('seed', [0, 1, 2, 3])
-def test_cif_parallel_matches_scan(seed):
-    """cif_parallel (cumsum+matmul) must reproduce the scan cif() in
-    the inference regime (threshold 1.0, alphas <= 1): same fire
-    positions, same integrate trace, same compacted frames."""
-    from wenet_tpu.models.paraformer.cif import cif, cif_parallel
-    rng = np.random.RandomState(seed)
-    B, T, D = 3, 37, 8
-    hidden = jnp.asarray(rng.randn(B, T, D), jnp.float32)
-    # sigmoid-like alphas with a 0.45 tail slot and masked tail, as the
-    # inference path produces
-    alphas = rng.rand(B, T).astype(np.float32) * 0.97
-    alphas[0, 30:] = 0.0
-    alphas[0, 30] = 0.45
-    alphas[1, -1] = 0.45
-    alphas = jnp.asarray(alphas)
-    for max_out_len in (T, 11):
-        f_scan, p_scan = cif(hidden, alphas, 1.0, max_out_len)
-        f_par, p_par = cif_parallel(hidden, alphas, 1.0, max_out_len)
-        np.testing.assert_allclose(np.asarray(p_scan),
-                                   np.asarray(p_par), atol=1e-5)
-        np.testing.assert_array_equal(
-            np.asarray(p_scan) >= 1.0, np.asarray(p_par) >= 1.0)
-        np.testing.assert_allclose(np.asarray(f_scan),
-                                   np.asarray(f_par), atol=1e-4)
-
-
-def test_cif_parallel_exact_alpha_one():
-    """alpha == 1.0 steps (saturated sigmoid) fire every step."""
-    from wenet_tpu.models.paraformer.cif import cif, cif_parallel
-    alphas = jnp.ones((1, 5), jnp.float32)
-    hidden = jnp.asarray(np.arange(5 * 2, dtype=np.float32
-                                   ).reshape(1, 5, 2))
-    f_scan, p_scan = cif(hidden, alphas, 1.0, 5)
-    f_par, p_par = cif_parallel(hidden, alphas, 1.0, 5)
-    np.testing.assert_allclose(np.asarray(p_scan), np.asarray(p_par),
-                               atol=1e-6)
-    np.testing.assert_allclose(np.asarray(f_scan), np.asarray(f_par),
-                               atol=1e-6)
+def test_paraformer_pipelined_quantized(paraformer_model):
+    """int8 weight-only runner through the pipelined batch path must
+    match its own sequential decode (regression: the fused pipeline
+    program once skipped dequantization)."""
+    from wenet_tpu.models.runner import AsrRunner
+    model, variables = paraformer_model
+    rng = np.random.RandomState(5)
+    feats = rng.randn(2, 60, 40).astype(np.float32)
+    fl = np.asarray([60, 50])
+    r_q = AsrRunner(model, variables, quantize=True)
+    piped = list(r_q.decode_paraformer_batches([(feats, fl)]))
+    seq = r_q.decode(['paraformer_greedy_search'], feats,
+                     fl)['paraformer_greedy_search']
+    assert [list(r.tokens) for r in piped[0]] == \
+        [list(r.tokens) for r in seq]

@@ -174,3 +174,14 @@ def test_quantized_runner_matches_fp():
                     or [1.0])
     assert agree >= 0.9
     assert len(b['attention_rescoring']) == 2
+    # the pipelined batch paths must dequantize inside their fused
+    # programs too (regression: the paraformer pipeline once applied
+    # raw int8 placeholder weights)
+    piped = list(r_q.decode_ctc_greedy_batches([(feats, fl)]))
+    assert [list(r.tokens) for r in piped[0]] == \
+        [list(r.tokens) for r in b['ctc_greedy_search']]
+    att_piped = list(r_q.decode_attention_batches([(feats, fl)],
+                                                  beam_size=3))
+    att_seq = r_q.decode(['attention'], feats, fl, beam_size=3)
+    assert [list(r.tokens) for r in att_piped[0]] == \
+        [list(r.tokens) for r in att_seq['attention']]

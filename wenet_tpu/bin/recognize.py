@@ -151,118 +151,61 @@ def main():
             logging.info('%s %s', mode, line)
             files[mode].write(line + '\n')
 
-    # rescoring-only batch decode: software-pipelined across batches
-    # (device encode+CTC+top-k || host C++ beam || rescoring program;
-    # ~1.8x the sequential path through remote-TPU links)
-    if (runner_modes == ['attention_rescoring'] and not hlg_modes
+    # single-mode batch decode rides a software pipeline (device
+    # program for batch i+1 || overlapped result fetch for batch i ||
+    # host finalize for batch i-1 — AsrRunner.decode_*_batches, see
+    # docs/runtime.md); multi-mode / streaming / LM / HLG runs take the
+    # generic sequential loop below.  Hypotheses are identical either
+    # way (tested in test_e2e.py / test_paraformer.py).
+    pipelined = None
+    if (len(runner_modes) == 1 and not hlg_modes and lm is None
             and not args.simulate_streaming
-            and args.decoding_chunk_size < 0 and lm is None
-            and type(model).__name__ == 'ASRModel'):
-        # (context biasing rides the C++ beam inside the pipeline)
+            and args.decoding_chunk_size < 0):
+        mode = runner_modes[0]
+        cls = type(model).__name__
+        if mode == 'attention_rescoring' and cls == 'ASRModel':
+            # context biasing rides the C++ beam inside the pipeline
+            pipelined = lambda feed: runner.decode_rescoring_batches(
+                feed, beam_size=args.beam_size,
+                ctc_weight=args.ctc_weight,
+                reverse_weight=args.reverse_weight, blank_id=blank_id,
+                blank_penalty=args.blank_penalty,
+                context_graph=context_graph)
+        elif mode == 'ctc_greedy_search' and cls == 'ASRModel':
+            pipelined = lambda feed: runner.decode_ctc_greedy_batches(
+                feed, blank_id=blank_id,
+                blank_penalty=args.blank_penalty)
+        elif mode == 'ctc_prefix_beam_search' and cls == 'ASRModel':
+            pipelined = lambda feed: runner.decode_prefix_beam_batches(
+                feed, beam_size=args.beam_size, blank_id=blank_id,
+                blank_penalty=args.blank_penalty,
+                context_graph=context_graph)
+        elif mode == 'attention' and cls in ('ASRModel', 'Whisper'):
+            pipelined = lambda feed: runner.decode_attention_batches(
+                feed, beam_size=args.beam_size,
+                length_penalty=args.length_penalty)
+        elif (mode in ('paraformer_greedy_search',
+                       'paraformer_beam_search')
+              and context_graph is None
+              and hasattr(model, 'forward_paraformer')):
+            pipelined = lambda feed: runner.decode_paraformer_batches(
+                feed, mode=mode)
+
+    if pipelined is not None:
         batch_meta = []
 
         def feed():
-            for batch in test_dataset:
-                batch_meta.append(batch['keys'])
-                yield batch['feats'], batch['feats_lengths']
-
-        for hyps in runner.decode_rescoring_batches(
-                feed(), beam_size=args.beam_size,
-                ctc_weight=args.ctc_weight,
-                reverse_weight=args.reverse_weight,
-                blank_id=blank_id, blank_penalty=args.blank_penalty,
-                context_graph=context_graph):
-            write_results(batch_meta.pop(0), 'attention_rescoring',
-                          hyps)
-        for f in files.values():
-            f.close()
-        return
-
-    # ctc-greedy-only batch decode: dispatch-ahead pipeline (fused
-    # encoder+CTC+argmax program || background fetch || host dedup)
-    if (runner_modes == ['ctc_greedy_search'] and not hlg_modes
-            and not args.simulate_streaming
-            and args.decoding_chunk_size < 0 and lm is None
-            and type(model).__name__ == 'ASRModel'):
-        batch_meta = []
-
-        def feed_greedy():
-            for batch in test_dataset:
-                batch_meta.append(batch['keys'])
-                yield batch['feats'], batch['feats_lengths']
-
-        for hyps in runner.decode_ctc_greedy_batches(
-                feed_greedy(), blank_id=blank_id,
-                blank_penalty=args.blank_penalty):
-            write_results(batch_meta.pop(0), 'ctc_greedy_search', hyps)
-        for f in files.values():
-            f.close()
-        return
-
-    # attention-only batch decode (incl. whisper prompts):
-    # dispatch-ahead pipeline (encoder + while_loop beam programs ||
-    # background fetch || host prompt/eos strip)
-    if (runner_modes == ['attention'] and not hlg_modes
-            and not args.simulate_streaming
-            and args.decoding_chunk_size < 0 and lm is None
-            and type(model).__name__ in ('ASRModel', 'Whisper')):
-        batch_meta = []
-
-        def feed_att():
             for batch in test_dataset:
                 batch_meta.append(batch['keys'])
                 yield (batch['feats'], batch['feats_lengths'],
                        {'tasks': batch['tasks'],
                         'langs': batch['langs']})
 
-        for hyps in runner.decode_attention_batches(
-                feed_att(), beam_size=args.beam_size,
-                length_penalty=args.length_penalty):
-            write_results(batch_meta.pop(0), 'attention', hyps)
-        for f in files.values():
-            f.close()
-        return
-
-    # prefix-beam-only batch decode: dispatch-ahead pipeline (device
-    # encoder+CTC+top-k || background top-k fetch || host C++ beam)
-    if (runner_modes == ['ctc_prefix_beam_search'] and not hlg_modes
-            and not args.simulate_streaming
-            and args.decoding_chunk_size < 0 and lm is None
-            and type(model).__name__ == 'ASRModel'):
-        batch_meta = []
-
-        def feed_beam():
-            for batch in test_dataset:
-                batch_meta.append(batch['keys'])
-                yield batch['feats'], batch['feats_lengths']
-
-        for hyps in runner.decode_prefix_beam_batches(
-                feed_beam(), beam_size=args.beam_size,
-                blank_id=blank_id, blank_penalty=args.blank_penalty,
-                context_graph=context_graph):
-            write_results(batch_meta.pop(0), 'ctc_prefix_beam_search',
-                          hyps)
-        for f in files.values():
-            f.close()
-        return
-
-    # paraformer-only batch decode: dispatch-ahead pipeline (fused
-    # device program || background fetch || host finalize)
-    if (len(runner_modes) == 1 and not hlg_modes and lm is None
-            and context_graph is None
-            and runner_modes[0] in ('paraformer_greedy_search',
-                                    'paraformer_beam_search')
-            and hasattr(model, 'forward_paraformer')):
-        mode = runner_modes[0]
-        batch_meta = []
-
-        def feed_pf():
-            for batch in test_dataset:
-                batch_meta.append(batch['keys'])
-                yield batch['feats'], batch['feats_lengths']
-
-        for hyps in runner.decode_paraformer_batches(feed_pf(),
-                                                     mode=mode):
+        # only the attention pipeline consumes the whisper-style
+        # task/lang infos; the others take (feats, lengths) pairs
+        two_arg = mode != 'attention'
+        src = ((f, l) for f, l, _ in feed()) if two_arg else feed()
+        for hyps in pipelined(src):
             write_results(batch_meta.pop(0), mode, hyps)
         for f in files.values():
             f.close()

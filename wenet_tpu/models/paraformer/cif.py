@@ -17,7 +17,15 @@ from wenet_tpu.ops.dropout import Dropout
 def cif(hidden: jax.Array, alphas: jax.Array, threshold: float,
         max_out_len: int) -> Tuple[jax.Array, jax.Array]:
     """hidden: (B, T, D); alphas: (B, T) -> (frames (B, max_out_len, D),
-    fires (B, T)).  ref: cif.py:250-296."""
+    fires (B, T)).  ref: cif.py:250-296.
+
+    Kept as a scan on purpose: a parallel cumsum+segment-matmul
+    formulation (fires at floor(cumsum) increments) measures equal
+    end-to-end at production shapes (the paraformer batch program is
+    encoder/decoder-bound, see BENCH_NOTES.md) but loses exactness at
+    long T — frac(cumsum) precision decays with the integrated total,
+    flipping borderline fire positions vs the reference's sequential
+    semantics, which this scan reproduces step for step."""
     B, T, D = hidden.shape
 
     def step(carry, xs):
@@ -56,50 +64,6 @@ def cif(hidden: jax.Array, alphas: jax.Array, threshold: float,
     valid = jnp.arange(max_out_len)[None, :] < n_fired[:, None]
     gathered = jnp.where(valid[:, :, None], gathered, 0.0)
     return gathered, fires
-
-
-def cif_parallel(hidden: jax.Array, alphas: jax.Array, threshold: float,
-                 max_out_len: int) -> Tuple[jax.Array, jax.Array]:
-    """Fires-by-cumsum formulation of cif(), exact for threshold == 1.0
-    with per-step alpha <= 1 (the inference regime: sigmoid alphas with
-    smooth_factor <= 1 plus the 0.45 tail slot).
-
-    With at most one fire per step, the integrate state after step t is
-    c_t - floor(c_t) for c = cumsum(alpha), a fire happens iff
-    floor(c_t) > floor(c_{t-1}), and each frame's mass splits between
-    segment floor(c_{t-1}) (completion) and the next (remainder) — so
-    the completed segments become ONE (B,T,L)x(B,T,D) weighted matmul
-    instead of a T-step serial scan carrying a (B, D) accumulator.
-    End-to-end the two are equal-speed at the production decode shape
-    (B16 T'250; the batch program is encoder/decoder-compute-bound),
-    but the matmul form has no serial dependency on T, so it is the
-    scaling-safe choice for long-form inputs.  cif() stays the
-    canonical path for training (target-scaled alphas may exceed 1,
-    breaking the floor invariant) and for threshold != 1."""
-    B, T, D = hidden.shape
-    af = alphas.astype(jnp.float32)  # cumsum over ~T needs fp32
-    c = jnp.cumsum(af, axis=1)
-    c_prev = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.float32), c[:, :-1]], axis=1)
-    n_prev = jnp.floor(c_prev)
-    fires = c - n_prev  # integrate trace before subtraction (== scan's)
-    fired = fires >= threshold
-    # at a fire: this segment takes the completion 1 - frac(c_prev),
-    # the remainder opens the next segment
-    cur = jnp.where(fired, 1.0 - (c_prev - n_prev), af)
-    rem = jnp.where(fired, af - cur, 0.0)
-    L = min(max_out_len, T)
-    seg = n_prev.astype(jnp.int32)
-    w = (jax.nn.one_hot(seg, L, dtype=jnp.float32) * cur[..., None] +
-         jax.nn.one_hot(seg + 1, L, dtype=jnp.float32) * rem[..., None])
-    frames = jnp.einsum('btl,btd->bld', w.astype(hidden.dtype), hidden)
-    if L < max_out_len:
-        frames = jnp.pad(frames,
-                         ((0, 0), (0, max_out_len - L), (0, 0)))
-    n_fired = jnp.sum(fired, axis=1)
-    valid = jnp.arange(max_out_len)[None, :] < n_fired[:, None]
-    frames = jnp.where(valid[:, :, None], frames, 0.0)
-    return frames, fires.astype(alphas.dtype)
 
 
 def cif_without_hidden(alphas: jax.Array, threshold: float) -> jax.Array:
@@ -179,15 +143,8 @@ class Cif(nn.Module):
                     hidden, alphas, mask)
             out_len = max_out_len if max_out_len is not None else \
                 hidden.shape[1]
-        # inference with the default threshold rides the parallel
-        # (cumsum + matmul) formulation; training keeps the scan —
-        # target-scaled alphas can exceed 1, breaking its invariant
-        use_parallel = (target_label_length is None
-                        and self.threshold == 1.0
-                        and self.smooth_factor <= 1.0)
-        cif_fn = cif_parallel if use_parallel else cif
-        acoustic_embeds, cif_peak = cif_fn(hidden, alphas,
-                                           self.threshold, out_len)
+        acoustic_embeds, cif_peak = cif(hidden, alphas, self.threshold,
+                                        out_len)
         return acoustic_embeds, token_num, alphas, cif_peak
 
     def tail_process_fn(self, hidden, alphas, mask):

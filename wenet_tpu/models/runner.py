@@ -486,46 +486,60 @@ class AsrRunner:
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
+    @staticmethod
+    def _pipeline(batches, dispatch, finalize, depth: int = 6,
+                  fetch_workers: int = 4):
+        """Dispatch-ahead pipeline shared by the batch decode modes:
+        `dispatch(item) -> (device_arrays, ctx)` runs un-blocked (the
+        single in-order device queue executes batch i while i+1
+        dispatches), result fetches ride a small worker pool (each
+        fetch costs a full link RTT — with ONE worker the fetches
+        serialize and bound the whole pipeline: measured 8.3k vs 28.4k
+        audio-sec/s on the greedy path — order is preserved by the
+        futures queue), and `finalize(fetched, ctx)` runs on the host
+        while younger batches execute."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=fetch_workers)
+        q = deque()
+        try:
+            for item in batches:
+                dev, ctx = dispatch(item)
+                q.append((ex.submit(jax.device_get, dev), ctx))
+                while len(q) > depth:
+                    fut, c = q.popleft()
+                    yield finalize(fut.result(), c)
+            while q:
+                fut, c = q.popleft()
+                yield finalize(fut.result(), c)
+        finally:
+            ex.shutdown(wait=False)
+
     def decode_ctc_greedy_batches(self, batches, blank_id: int = 0,
                                   blank_penalty: float = 0.0):
         """Software-pipelined CTC greedy decode over an iterable of
         (feats, feats_lengths) batches; yields one List[DecodeResult]
-        per batch, in order.  Device program for batch i+1 dispatched
-        while batch i's (B, T') argmax ids fetch rides a background
-        thread and batch i-1 dedups on host.  Results identical to
+        per batch, in order.  Results identical to
         decode(['ctc_greedy_search'], ...) (tested); recognize.py rides
         this for greedy-only runs (ref analog: recognize.py's per-batch
         loop around search.py:109-124)."""
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
         from wenet_tpu.models.transformer.search import (
             DecodeResult, remove_duplicates_and_blank)
 
         fn = self._ctc_greedy_pipeline_fn(blank_penalty, blank_id)
-        # each (B, T') ids fetch costs a full link RTT; with one worker
-        # the fetches serialize and bound the whole pipeline (measured:
-        # 8.3k audio-sec/s vs 29k for the raw program), so run several
-        # concurrently — results stay ordered through the futures queue
-        ex = ThreadPoolExecutor(max_workers=4)
-        q = deque()
 
-        def finalize(ids):
+        def dispatch(item):
+            feats, feats_lengths = item
+            return fn(self.variables, jnp.asarray(feats),
+                      jnp.asarray(feats_lengths)), None
+
+        def finalize(fetched, _):
             return [DecodeResult(
                 remove_duplicates_and_blank(list(h), blank_id))
-                for h in ids]
+                for h in fetched[0]]
 
-        try:
-            for feats, feats_lengths in batches:
-                dev = fn(self.variables, jnp.asarray(feats),
-                         jnp.asarray(feats_lengths))
-                q.append(ex.submit(jax.device_get, dev))
-                while len(q) > 6:
-                    yield finalize(q.popleft().result()[0])
-            while q:
-                yield finalize(q.popleft().result()[0])
-        finally:
-            ex.shutdown(wait=False)
+        yield from self._pipeline(batches, dispatch, finalize)
 
     # ------------------------------------------------------------------
     def _enc_topk_pipeline_fn(self, beam_size: int,
@@ -565,9 +579,6 @@ class AsrRunner:
         host C++ trie beam for batch i-1 (context biasing rides the
         C++ hot loop).  Results identical to
         decode(['ctc_prefix_beam_search'], ...) (tested)."""
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
         from wenet_tpu.runtime import native_beam
 
         if not native_beam.available():
@@ -582,12 +593,13 @@ class AsrRunner:
 
         fn = self._enc_topk_pipeline_fn(beam_size, blank_penalty,
                                         blank_id)
-        # overlapped top-k fetches (see decode_ctc_greedy_batches); the
-        # host C++ beam in finalize() stays the steady-state stage
-        ex = ThreadPoolExecutor(max_workers=4)
-        q = deque()
 
-        def finalize(fetched):
+        def dispatch(item):
+            feats, feats_lengths = item
+            return fn(self.variables, jnp.asarray(feats),
+                      jnp.asarray(feats_lengths)), None
+
+        def finalize(fetched, _):
             vals, ids, lens = fetched
             outs = native_beam.batch_search_topk(
                 vals.swapaxes(0, 1), ids.swapaxes(0, 1), lens,
@@ -597,17 +609,7 @@ class AsrRunner:
                                  nbest_times=t)
                     for h, t, s in outs]
 
-        try:
-            for feats, feats_lengths in batches:
-                dev = fn(self.variables, jnp.asarray(feats),
-                         jnp.asarray(feats_lengths))
-                q.append(ex.submit(jax.device_get, dev))
-                while len(q) > 6:
-                    yield finalize(q.popleft().result())
-            while q:
-                yield finalize(q.popleft().result())
-        finally:
-            ex.shutdown(wait=False)
+        yield from self._pipeline(batches, dispatch, finalize)
 
     # ------------------------------------------------------------------
     def decode_attention_batches(self, batches, beam_size: int = 10,
@@ -621,34 +623,23 @@ class AsrRunner:
         i-1 strips prompts on host.  Results identical to
         decode(['attention'], ...) (tested); recognize.py rides this
         for attention-only runs (incl. whisper)."""
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
         from wenet_tpu.models.transformer.search import (
             attention_beam_dispatch, attention_beam_finalize)
 
-        ex = ThreadPoolExecutor(max_workers=4)
-        q = deque()
-        try:
-            for item in batches:
-                feats, feats_lengths = item[0], item[1]
-                infos = item[2] if len(item) > 2 else None
-                eo, em = self.forward_encoder(jnp.asarray(feats),
-                                              jnp.asarray(feats_lengths))
-                dev, plen = attention_beam_dispatch(
-                    self.model, self._variables_fp(), eo, em,
-                    beam_size, length_penalty, infos)
-                q.append((plen, ex.submit(jax.device_get, dev)))
-                while len(q) > 6:
-                    plen0, fut = q.popleft()
-                    yield attention_beam_finalize(self.model,
-                                                  fut.result(), plen0)
-            while q:
-                plen0, fut = q.popleft()
-                yield attention_beam_finalize(self.model, fut.result(),
-                                              plen0)
-        finally:
-            ex.shutdown(wait=False)
+        def dispatch(item):
+            feats, feats_lengths = item[0], item[1]
+            infos = item[2] if len(item) > 2 else None
+            eo, em = self.forward_encoder(jnp.asarray(feats),
+                                          jnp.asarray(feats_lengths))
+            dev, plen = attention_beam_dispatch(
+                self.model, self._variables_fp(), eo, em,
+                beam_size, length_penalty, infos)
+            return dev, plen
+
+        def finalize(fetched, plen):
+            return attention_beam_finalize(self.model, fetched, plen)
+
+        yield from self._pipeline(batches, dispatch, finalize)
 
     # ------------------------------------------------------------------
     def _paraformer_pipeline_fn(self, need_peaks: bool):
@@ -662,14 +653,15 @@ class AsrRunner:
             model = self.model
 
             def fn(variables, feats, feats_lengths):
-                res = model.apply(variables, feats, feats_lengths,
+                v = self._maybe_dequant(variables)
+                res = model.apply(v, feats, feats_lengths,
                                   method=model.forward_paraformer)
                 ids = jnp.argmax(res['decoder_out'], -1)
                 lp = jnp.take_along_axis(res['decoder_out'],
                                          ids[..., None], -1)[..., 0]
                 peaks = None
                 if need_peaks:
-                    peaks = model.apply(variables, res['tp_alphas'],
+                    peaks = model.apply(v, res['tp_alphas'],
                                         res['decoder_out_lens'],
                                         method=model.forward_cif_peaks)
                 return ids, lp, res['decoder_out_lens'], peaks
@@ -690,9 +682,6 @@ class AsrRunner:
         log-probs, lens, peaks) fetch rides a background thread and
         batch i-1 finalizes on host.  Results are identical to the
         sequential path (tested in test_paraformer.py)."""
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
         from wenet_tpu.models.paraformer.search import (
             paraformer_beam_search_ids, paraformer_greedy_search_ids)
 
@@ -702,27 +691,19 @@ class AsrRunner:
                 f'unsupported pipelined paraformer mode: {mode}')
         need_peaks = mode == 'paraformer_greedy_search'
         fn = self._paraformer_pipeline_fn(need_peaks)
-        finalize = (paraformer_greedy_search_ids if need_peaks
-                    else paraformer_beam_search_ids)
-        # several fetch workers: each result fetch costs a full link
-        # RTT and with one worker the fetches serialize into the
-        # pipeline bound (see decode_ctc_greedy_batches); ordering is
-        # preserved by the futures queue
-        ex = ThreadPoolExecutor(max_workers=4)
-        q = deque()
-        try:
-            for feats, feats_lengths in batches:
-                dev = fn(self.variables, jnp.asarray(feats),
-                         jnp.asarray(feats_lengths))
-                q.append(ex.submit(jax.device_get, dev))
-                while len(q) > 6:
-                    ids, lp, lens, peaks = q.popleft().result()
-                    yield finalize(ids, lp, lens, cif_peaks=peaks)
-            while q:
-                ids, lp, lens, peaks = q.popleft().result()
-                yield finalize(ids, lp, lens, cif_peaks=peaks)
-        finally:
-            ex.shutdown(wait=False)
+        search_ids = (paraformer_greedy_search_ids if need_peaks
+                      else paraformer_beam_search_ids)
+
+        def dispatch(item):
+            feats, feats_lengths = item
+            return fn(self.variables, jnp.asarray(feats),
+                      jnp.asarray(feats_lengths)), None
+
+        def finalize(fetched, _):
+            ids, lp, lens, peaks = fetched
+            return search_ids(ids, lp, lens, cif_peaks=peaks)
+
+        yield from self._pipeline(batches, dispatch, finalize)
 
     # ------------------------------------------------------------------
     def _decode_paraformer(self, methods, feats, feats_lengths,
@@ -735,7 +716,8 @@ class AsrRunner:
         if '_paraformer_fwd' not in self._jitted:
 
             def fn(variables, feats, feats_lengths):
-                return model.apply(variables, feats, feats_lengths,
+                return model.apply(self._maybe_dequant(variables),
+                                   feats, feats_lengths,
                                    method=model.forward_paraformer)
 
             self._jitted['_paraformer_fwd'] = jax.jit(fn)
@@ -746,7 +728,8 @@ class AsrRunner:
             if '_paraformer_peaks' not in self._jitted:
 
                 def peaks_fn(variables, alphas, lens):
-                    return model.apply(variables, alphas, lens,
+                    return model.apply(self._maybe_dequant(variables),
+                                       alphas, lens,
                                        method=model.forward_cif_peaks)
 
                 self._jitted['_paraformer_peaks'] = jax.jit(peaks_fn)

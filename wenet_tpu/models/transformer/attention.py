@@ -211,6 +211,12 @@ class MultiHeadedAttention(nn.Module):
         q = self.project_q(x_q)  # (B, h, 1, d)
         k_new, v_new = self.project_kv(x_q, x_q)  # (B, h_kv, 1, d)
         k_buf, v_buf = cache
+        # cache buffers take their dtype from the encoder output
+        # (decoder.init_state); under a mixed-precision runner (e.g.
+        # int8 dequant to bf16 with fp32 features) the step kv can
+        # land in a different dtype — conform to the buffer
+        k_new = k_new.astype(k_buf.dtype)
+        v_new = v_new.astype(v_buf.dtype)
         k_buf = jax.lax.dynamic_update_slice(k_buf, k_new, (0, 0, step, 0))
         v_buf = jax.lax.dynamic_update_slice(v_buf, v_new, (0, 0, step, 0))
         L = k_buf.shape[-2]

@@ -14,6 +14,14 @@ call signature, bit-identical output for the same rng — the forward
 mask construction mirrors flax exactly, which in turn mirrors the
 reference's ``torch.nn.Dropout`` train-time semantics, e.g. ref
 wenet/transformer/encoder_layer.py:75).
+
+Known limitation: ``jax.custom_vjp`` has no forward-mode rule, so
+``jax.jvp`` / ``jax.jacfwd`` through a TRAIN-mode model (dropout
+active) raises where flax's composite dropout differentiated fine.
+Reverse-mode (``grad`` / ``vjp``) — the training path — is unaffected,
+and eval-mode models never enter the custom op.  If forward-mode
+through train-mode ever matters, swap ``nn.Dropout`` back at the call
+site or run with ``rate=0``.
 """
 
 from functools import partial
