@@ -297,3 +297,22 @@ def test_runner_rnnt_modes(transducer_model):
     assert len(res['rnnt_beam_search']) == 2
     r = res['rnnt_beam_search'][0]
     assert len(r.nbest) == 4 and len(r.nbest_scores) == 4
+
+
+def test_rnnt_greedy_pipelined_matches_sequential(transducer_model):
+    """decode_rnnt_greedy_batches (fused encoder+greedy program,
+    dispatch-ahead pipeline) must reproduce the sequential
+    runner.decode results batch for batch."""
+    from wenet_tpu.models.runner import AsrRunner
+    model, variables = transducer_model
+    runner = AsrRunner(model, variables)
+    rng = np.random.RandomState(6)
+    batches = [(rng.randn(2, 64, 40).astype(np.float32),
+                np.asarray([64, 40 + 8 * i])) for i in range(3)]
+    piped = list(runner.decode_rnnt_greedy_batches(batches))
+    assert len(piped) == 3
+    for (feats, fl), got in zip(batches, piped):
+        ref = runner.decode(['rnnt_greedy_search'], feats,
+                            fl)['rnnt_greedy_search']
+        assert [list(r.tokens) for r in got] == \
+            [list(r.tokens) for r in ref]

@@ -190,6 +190,9 @@ def main():
               and hasattr(model, 'forward_paraformer')):
             pipelined = lambda feed: runner.decode_paraformer_batches(
                 feed, mode=mode)
+        elif mode == 'rnnt_greedy_search' and cls == 'Transducer':
+            pipelined = lambda feed: \
+                runner.decode_rnnt_greedy_batches(feed)
 
     if pipelined is not None:
         batch_meta = []

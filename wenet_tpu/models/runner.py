@@ -642,6 +642,52 @@ class AsrRunner:
         yield from self._pipeline(batches, dispatch, finalize)
 
     # ------------------------------------------------------------------
+    def _rnnt_greedy_pipeline_fn(self):
+        """Encoder + on-device transducer greedy loop as ONE program —
+        only the (B, U) emitted tokens and counts reach the host."""
+        key = '_rnnt_greedy_pipe'
+        if key not in self._jitted:
+            model = self.model
+
+            def fn(variables, feats, feats_lengths):
+                v = self._maybe_dequant(variables)
+                eo, em = model.apply(v, feats, feats_lengths, -1, -1,
+                                     method=model.forward_encoder)
+                lens = jnp.sum(em[:, 0, :], axis=-1)
+                tokens, n_emit = model.apply(v, eo, lens,
+                                             method=model.greedy_search)
+                return tokens, n_emit
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def decode_rnnt_greedy_batches(self, batches):
+        """Software-pipelined transducer greedy decode over an iterable
+        of (feats, feats_lengths) batches; yields one
+        List[DecodeResult] per batch, in order.  Results identical to
+        decode(['rnnt_greedy_search'], ...) (tested); recognize.py
+        rides this for rnnt-greedy-only runs (ref analog:
+        wenet/models/transducer/search/greedy_search.py)."""
+        fn = self._rnnt_greedy_pipeline_fn()
+        blank = getattr(self.model, 'blank', 0)
+
+        def dispatch(item):
+            feats, feats_lengths = item
+            return fn(self.variables, jnp.asarray(feats),
+                      jnp.asarray(feats_lengths)), None
+
+        def finalize(fetched, _):
+            tokens, n_emit = fetched
+            return [
+                DecodeResult(tokens=[int(t) for t in
+                                     tokens[b, :n_emit[b]]
+                                     if int(t) != blank])
+                for b in range(tokens.shape[0])
+            ]
+
+        yield from self._pipeline(batches, dispatch, finalize)
+
+    # ------------------------------------------------------------------
     def _paraformer_pipeline_fn(self, need_peaks: bool):
         """ONE jitted program per batch for the pipelined NAR decode:
         forward_paraformer + cif peaks + on-device argmax/log-prob
