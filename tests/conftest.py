@@ -44,6 +44,7 @@ SLOW_TESTS = {
     'test_attention_beam_search_parity',
     'test_whisper_loss_parity',
     'test_whisper_encoder_parity',
+    'test_whisper_attention_pipelined_matches_sequential',
     'test_sensevoice_loss',
     'test_relpos_flash_matches_reference',
     'test_entry_compiles_small',

@@ -227,3 +227,29 @@ def test_whisper_attention_rescoring_uses_prompt(models):
     # the P=4 program variant must have been compiled (prompt in use)
     from wenet_tpu.models.transformer.search import _RESCORE_CACHE
     assert any(k[-1] == 4 for k in _RESCORE_CACHE)
+
+
+def test_whisper_attention_pipelined_matches_sequential(models):
+    """decode_attention_batches with whisper task/lang prompt infos
+    must match the sequential runner.decode(['attention']) results —
+    covers the prompt-prefix path through the pipelined branch."""
+    from wenet_tpu.models.runner import AsrRunner
+    _, model, variables = models
+    runner = AsrRunner(model, variables)
+    rng = np.random.RandomState(3)
+    batches = []
+    for i in range(2):
+        mel = rng.randn(2, 64, MELS).astype(np.float32)
+        lens = np.asarray([64, 64])
+        infos = {'tasks': ['transcribe', 'translate'],
+                 'langs': ['en', 'zh']}
+        batches.append((mel, lens, infos))
+    piped = list(runner.decode_attention_batches(batches, beam_size=2))
+    assert len(piped) == 2
+    for (mel, lens, infos), got in zip(batches, piped):
+        ref = runner.decode(['attention'], mel, lens, beam_size=2,
+                            infos=infos)['attention']
+        assert [list(r.tokens) for r in got] == \
+            [list(r.tokens) for r in ref]
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(a.score, b.score, rtol=1e-5)
