@@ -106,3 +106,37 @@ def test_sensevoice_converter_config():
     sd = convert_state_dict({'a.weight': 1,
                              'bn.num_batches_tracked': 2})
     assert sd == {'a.weight': 1}
+
+
+def test_sensevoice_greedy_pipelined_matches_sequential():
+    """SenseVoice rides the pipelined ctc-greedy batch path (its
+    forward_encoder embeds the lid/itn prompt frames inside the same
+    fused program) — results must match the sequential decoder."""
+    from wenet_tpu.models.runner import AsrRunner
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    V = 60
+    configs = {
+        'input_dim': 280,
+        'output_dim': V,
+        'lfr_conf': {'lfr_m': 7, 'lfr_n': 6},
+        'encoder': 'sanm_encoder_with_tp',
+        'encoder_conf': {'output_size': 32, 'attention_heads': 2,
+                         'linear_units': 64, 'num_blocks': 2,
+                         'tp_blocks': 1, 'kernel_size': 7},
+        'decoder': None,
+        'model': 'sensevoice_small',
+        'model_conf': {'ctc_weight': 1.0, 'lsm_weight': 0.1},
+        'tokenizer_conf': {'special_tokens': {'<s>': 1, '</s>': 2}},
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    runner = AsrRunner(model, variables)
+    rng = np.random.RandomState(7)
+    batches = [(rng.randn(2, 62, 40).astype(np.float32),
+                np.asarray([62, 50 + i])) for i in range(2)]
+    piped = list(runner.decode_ctc_greedy_batches(batches))
+    for (feats, fl), got in zip(batches, piped):
+        ref = runner.decode(['ctc_greedy_search'], feats,
+                            fl)['ctc_greedy_search']
+        assert [list(r.tokens) for r in got] == \
+            [list(r.tokens) for r in ref]

@@ -171,7 +171,10 @@ def main():
                 reverse_weight=args.reverse_weight, blank_id=blank_id,
                 blank_penalty=args.blank_penalty,
                 context_graph=context_graph)
-        elif mode == 'ctc_greedy_search' and cls == 'ASRModel':
+        elif (mode == 'ctc_greedy_search'
+              and cls in ('ASRModel', 'SenseVoiceSmall')):
+            # SenseVoiceSmall decodes via the same encoder+CTC program
+            # (its forward_encoder embeds the lid/itn prompt frames)
             pipelined = lambda feed: runner.decode_ctc_greedy_batches(
                 feed, blank_id=blank_id,
                 blank_penalty=args.blank_penalty)
