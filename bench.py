@@ -136,6 +136,56 @@ def bench_greedy_runner(batch: int = 16):
     print(json.dumps(out))
 
 
+def bench_prefix_beam(batch: int = 16):
+    """Pipelined CTC prefix beam search throughput
+    (AsrRunner.decode_prefix_beam_batches: device encoder+CTC+top-k ‖
+    overlapped top-k fetch ‖ host C++ trie beam)."""
+    from __graft_entry__ import _flagship_config
+    from wenet_tpu.models.runner import AsrRunner
+    from wenet_tpu.utils.init_model import init_model, init_variables
+
+    configs = _flagship_config()
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    runner = AsrRunner(model, variables, dtype=jnp.bfloat16)
+
+    B = batch
+    SECONDS = 15.0
+    T = int(SECONDS * 100)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, configs['input_dim']),
+                        jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    iters = 10
+    batches = [(feats + 1e-3 * i, lens) for i in range(iters)]
+
+    list(runner.decode_prefix_beam_batches(batches[:1]))  # compile
+    best_dt = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = list(runner.decode_prefix_beam_batches(batches,
+                                                      beam_size=10))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    assert len(outs) == iters
+    throughput = B * SECONDS * iters / best_dt
+    out = {
+        'metric': 'ctc_prefix_beam_throughput',
+        'value': round(throughput, 1),
+        'unit': 'audio_sec/sec/chip',
+        'vs_baseline': round(throughput / 2000.0, 3),
+    }
+    from wenet_tpu.utils.mfu import mfu, program_flops
+    fn = runner._jitted.get(('_enc_topk_pipe', 10, 0.0, 0))
+    flops = (program_flops(fn, runner.variables, feats, lens)
+             if fn is not None else None)
+    if flops:
+        util = mfu(flops * iters / best_dt)
+        if util is not None:
+            out['mfu'] = round(util, 4)
+            out['mfu_note'] = 'device-program lower bound'
+    print(json.dumps(out))
+
+
 def _paraformer_bench_config():
     """d512 12+6 SAN-M paraformer, V=5537 — reduced-depth
     paraformer-large layout (the ref recipe
@@ -290,6 +340,8 @@ if __name__ == '__main__':
         bench_rescoring()
     elif '--mode' in sys.argv and 'greedy_runner' in sys.argv:
         bench_greedy_runner(batch)
+    elif '--mode' in sys.argv and 'prefix_beam' in sys.argv:
+        bench_prefix_beam(batch)
     elif '--mode' in sys.argv and 'paraformer' in sys.argv:
         bench_paraformer(batch)
     else:
