@@ -31,6 +31,7 @@ SLOW_TESTS = {
     'test_paraformer_loss',
     'test_train_then_recognize',
     'test_recognize_paraformer_pipelined_branch',
+    'test_train_profile_dir_writes_trace',
     'test_dryrun_multichip_8dev',
     'test_quantized_runner_matches_fp',
     'test_encoder_grad_flows',

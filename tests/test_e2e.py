@@ -390,3 +390,27 @@ def test_train_on_device_frontend(workdir, tmp_path):
         '--tensorboard_dir', str(tmp_path / 'tb'),
     ])
     assert os.path.exists(os.path.join(model_dir, 'final'))
+
+
+def test_train_profile_dir_writes_trace(workdir):
+    """--profile_dir produces an xprof/xplane trace (SURVEY §5
+    profiling aux subsystem; the reference has no profiler)."""
+    import glob
+
+    from wenet_tpu.bin.train import main as train_main
+    model_dir = str(workdir / 'exp_prof')
+    prof_dir = str(workdir / 'prof')
+    _run_main(train_main, [
+        'train.py', '--config', str(workdir / 'train.yaml'),
+        '--train_data', str(workdir / 'data.list'),
+        '--cv_data', str(workdir / 'data.list'),
+        '--model_dir', model_dir,
+        '--tensorboard_dir', str(workdir / 'tb_prof'),
+        '--profile_dir', prof_dir,
+        '--profile_start_step', '1', '--profile_steps', '1',
+    ])
+    traces = glob.glob(os.path.join(prof_dir, '**', '*.xplane.pb'),
+                       recursive=True) + \
+        glob.glob(os.path.join(prof_dir, '**', '*.trace.json*'),
+                  recursive=True)
+    assert traces, f'no trace files under {prof_dir}'

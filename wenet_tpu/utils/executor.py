@@ -52,6 +52,7 @@ class Executor:
     def __init__(self, global_step: int = 0, device=None):
         self.step = global_step
         self.train_step_timer: Optional[StepTimer] = None
+        self._prof_active = False
 
     def train(self, train_step_fn, state, train_data_loader,
               cv_data_loader, cv_step_fn, writer, configs,
@@ -81,9 +82,11 @@ class Executor:
                 break
             if prof is not None and self.step == prof['start']:
                 jax.profiler.start_trace(prof['dir'])
-            if prof is not None and \
+                self._prof_active = True
+            if prof is not None and self._prof_active and \
                     self.step == prof['start'] + prof['steps']:
                 jax.profiler.stop_trace()
+                self._prof_active = False
                 prof = None
             dbatch = _to_device_batch(batch, mesh)
             state, metrics = train_step_fn(state, dbatch, rng)
@@ -119,6 +122,11 @@ class Executor:
                 if writer is not None:
                     for k, v in loss_dict.items():
                         writer.add_scalar(f'cv/{k}', v, self.step)
+        # the data can run out before start+steps profiled steps have
+        # executed — flush the trace rather than dropping it
+        if self._prof_active:
+            jax.profiler.stop_trace()
+            self._prof_active = False
         return state
 
     def cv(self, cv_step_fn, state, cv_data_loader, configs):
