@@ -1,0 +1,83 @@
+"""Chunked CTC head == dense ctc_logprobs reductions.
+
+The fused decode programs compute the CTC head in T-chunks so the
+(B, T', V) posterior is never materialized (ctc.py argmax_chunked /
+topk_chunked — the posterior was the VMEM-spill cliff past B=32 in
+BENCH_NOTES' batch sweep).  These tests pin the reduction results to
+the dense formulation the sequential decode path still uses (ref
+semantics: wenet/transformer/asr_model.py:253-265 + per-frame
+argmax/top-k, wenet/transformer/search.py:146).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wenet_tpu.utils.init_model import init_model, init_variables
+
+
+@pytest.fixture(scope='module')
+def small_model():
+    configs = {
+        'input_dim': 80, 'output_dim': 97,
+        'encoder': 'conformer',
+        'encoder_conf': {'output_size': 64, 'attention_heads': 2,
+                         'linear_units': 128, 'num_blocks': 2,
+                         'cnn_module_kernel': 15},
+        'decoder': 'bitransformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 128,
+                         'num_blocks': 1, 'r_num_blocks': 1},
+        'ctc_conf': {'ctc_blank_id': 0},
+        'model': 'asr_model',
+        'model_conf': {'ctc_weight': 0.3, 'lsm_weight': 0.1,
+                       'reverse_weight': 0.3},
+        'tokenizer_conf': {'special_tokens': {'<sos>': 95, '<eos>': 96}},
+    }
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(3, 230, 80), jnp.float32)
+    lens = jnp.asarray([230, 181, 97], jnp.int32)
+    eo, em = model.apply(variables, feats, lens, -1, -1,
+                         method=model.forward_encoder)
+    return model, variables, eo
+
+
+@pytest.mark.parametrize('blank_penalty', [0.0, 0.5])
+@pytest.mark.parametrize('chunk', [7, 16, 64])
+def test_argmax_chunked_matches_dense(small_model, blank_penalty, chunk):
+    model, variables, eo = small_model
+    dense = jnp.argmax(model.apply(variables, eo, blank_penalty, 0,
+                                   method=model.ctc_logprobs), -1)
+    chunked = model.apply(variables, eo, blank_penalty, 0, chunk,
+                          method=model.ctc_argmax)
+    assert chunked.shape == dense.shape
+    assert jnp.array_equal(dense, chunked)
+
+
+@pytest.mark.parametrize('blank_penalty', [0.0, 0.5])
+@pytest.mark.parametrize('chunk', [7, 16, 64])
+def test_topk_chunked_matches_dense(small_model, blank_penalty, chunk):
+    model, variables, eo = small_model
+    logp = model.apply(variables, eo, blank_penalty, 0,
+                       method=model.ctc_logprobs)
+    dv, di = jax.lax.top_k(logp, 10)
+    cv, ci = model.apply(variables, eo, 10, blank_penalty, 0, chunk,
+                         method=model.ctc_topk)
+    assert cv.shape == dv.shape == ci.shape
+    assert jnp.array_equal(di, ci)
+    np.testing.assert_allclose(np.asarray(cv), np.asarray(dv),
+                               atol=5e-6)
+
+
+def test_chunked_head_jits_without_dense_posterior(small_model):
+    """The jitted program's output is only (B, T') — spot-check it
+    compiles and runs under jit like the fused pipeline programs."""
+    model, variables, eo = small_model
+
+    @jax.jit
+    def fn(v, eo):
+        return model.apply(v, eo, 0.0, 0, method=model.ctc_argmax)
+
+    ids = fn(variables, eo)
+    assert ids.shape == eo.shape[:2]

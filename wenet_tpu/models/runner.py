@@ -304,9 +304,11 @@ class AsrRunner:
     # ------------------------------------------------------------------
     def _encode_ctc_topk(self, feats, feats_lengths, beam_size: int,
                          blank_penalty: float, blank_id: int):
-        """Encoder + CTC log-softmax + per-frame top-k as ONE program
+        """Encoder + chunked CTC head + per-frame top-k as ONE program
         (one dispatch round-trip; the rescoring pipeline only needs the
-        sparse top-k on host, never the dense (B, T, V) posteriors)."""
+        sparse top-k on host, and with the chunked head (ctc.py
+        topk_chunked) the dense (B, T, V) posterior never exists even
+        on device).  top-k outputs are (B, T', K)."""
         model = self.model
         key = ('_enc_ctc_topk', int(beam_size), float(blank_penalty),
                int(blank_id))
@@ -316,15 +318,10 @@ class AsrRunner:
                 v = self._maybe_dequant(variables)
                 eo, em = model.apply(v, feats, feats_lengths, -1, -1,
                                      method=model.forward_encoder)
-                logp = model.apply(v, eo, blank_penalty, blank_id,
-                                   method=model.ctc_logprobs)
-                # scan-over-T: XLA's batched top_k degrades with the
-                # leading dim on TPU (see _prefix_beam)
-                _, topk = jax.lax.scan(
-                    lambda _, f: (0., jax.lax.top_k(f, beam_size)),
-                    0., jnp.swapaxes(logp, 0, 1))
+                vals, ids = model.apply(v, eo, beam_size, blank_penalty,
+                                        blank_id, method=model.ctc_topk)
                 lens = jnp.sum(em[:, 0, :], axis=-1)
-                return eo, lens, topk[0], topk[1]
+                return eo, lens, vals, ids
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key](self.variables, feats, feats_lengths)
@@ -379,9 +376,9 @@ class AsrRunner:
         try:
             def advance(entry):
                 """topk fetched -> host beam -> dispatch rescore."""
-                vals, ids, lens = entry['topk'].result()
+                vals, ids, lens = entry['topk'].result()  # (B, T', K)
                 outs = native_beam.batch_search_topk(
-                    vals.swapaxes(0, 1), ids.swapaxes(0, 1), lens,
+                    vals, ids, lens,
                     beam_size, blank_id, context_graph=context_graph)
                 prefix = [DecodeResult(tokens=h[0], score=s[0],
                                        times=t[0], nbest=h,
@@ -464,8 +461,10 @@ class AsrRunner:
     # ------------------------------------------------------------------
     def _ctc_greedy_pipeline_fn(self, blank_penalty: float,
                                 blank_id: int):
-        """Encoder + CTC log-softmax + argmax as ONE program — only the
-        (B, T') ids and lengths ever reach the host."""
+        """Encoder + chunked CTC head + argmax as ONE program — only the
+        (B, T') ids and lengths ever reach the host, and the (B, T', V)
+        posterior never exists on device either (ctc.py argmax_chunked;
+        the dense posterior was the VMEM-spill cliff past B=32)."""
         key = ('_ctc_greedy_pipe', float(blank_penalty), int(blank_id))
         if key not in self._jitted:
             model = self.model
@@ -474,9 +473,8 @@ class AsrRunner:
                 v = self._maybe_dequant(variables)
                 eo, em = model.apply(v, feats, feats_lengths, -1, -1,
                                      method=model.forward_encoder)
-                logp = model.apply(v, eo, blank_penalty, blank_id,
-                                   method=model.ctc_logprobs)
-                ids = jnp.argmax(logp, axis=-1)
+                ids = model.apply(v, eo, blank_penalty, blank_id,
+                                  method=model.ctc_argmax)
                 lens = jnp.sum(em[:, 0, :], axis=-1)
                 ids = jnp.where(
                     jnp.arange(ids.shape[1])[None, :] < lens[:, None],
@@ -544,10 +542,12 @@ class AsrRunner:
     # ------------------------------------------------------------------
     def _enc_topk_pipeline_fn(self, beam_size: int,
                               blank_penalty: float, blank_id: int):
-        """Encoder + CTC log-softmax + per-frame top-k as ONE program,
+        """Encoder + chunked CTC head + per-frame top-k as ONE program,
         without the encoder-out output buffer (`_encode_ctc_topk` keeps
         it for the rescoring program; prefix-beam-only decode never
-        needs it on host or device again)."""
+        needs it on host or device again).  The head is computed in
+        T-chunks (ctc.py topk_chunked) so the (B, T', V) posterior is
+        never materialized; outputs are (B, T', K)."""
         key = ('_enc_topk_pipe', int(beam_size), float(blank_penalty),
                int(blank_id))
         if key not in self._jitted:
@@ -557,13 +557,10 @@ class AsrRunner:
                 v = self._maybe_dequant(variables)
                 eo, em = model.apply(v, feats, feats_lengths, -1, -1,
                                      method=model.forward_encoder)
-                logp = model.apply(v, eo, blank_penalty, blank_id,
-                                   method=model.ctc_logprobs)
-                _, topk = jax.lax.scan(
-                    lambda _, f: (0., jax.lax.top_k(f, beam_size)),
-                    0., jnp.swapaxes(logp, 0, 1))
+                vals, ids = model.apply(v, eo, beam_size, blank_penalty,
+                                        blank_id, method=model.ctc_topk)
                 lens = jnp.sum(em[:, 0, :], axis=-1)
-                return topk[0], topk[1], lens
+                return vals, ids, lens
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
@@ -600,9 +597,9 @@ class AsrRunner:
                       jnp.asarray(feats_lengths)), None
 
         def finalize(fetched, _):
-            vals, ids, lens = fetched
+            vals, ids, lens = fetched  # already (B, T', K)
             outs = native_beam.batch_search_topk(
-                vals.swapaxes(0, 1), ids.swapaxes(0, 1), lens,
+                vals, ids, lens,
                 beam_size, blank_id, context_graph=context_graph)
             return [DecodeResult(tokens=h[0], score=s[0], times=t[0],
                                  nbest=h, nbest_scores=s,

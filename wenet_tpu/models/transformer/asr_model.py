@@ -192,6 +192,22 @@ class ASRModel(nn.Module):
             return jax.nn.log_softmax(logits, axis=-1)
         return self.ctc.log_softmax(encoder_out)
 
+    def ctc_argmax(self, encoder_out, blank_penalty: float = 0.0,
+                   blank_id: int = 0, chunk: int = 16):
+        """Greedy CTC ids with the head computed in T-chunks — the
+        (B, T, V) posterior of ctc_logprobs never exists (see
+        ctc.py argmax_chunked; decode semantics identical to ref
+        asr_model.py:253-265 + argmax)."""
+        return self.ctc.argmax_chunked(encoder_out, blank_penalty,
+                                       blank_id, chunk)
+
+    def ctc_topk(self, encoder_out, k: int, blank_penalty: float = 0.0,
+                 blank_id: int = 0, chunk: int = 16):
+        """Per-frame top-k (values, ids) of ctc_logprobs, chunked over
+        T (ctc.py topk_chunked)."""
+        return self.ctc.topk_chunked(encoder_out, k, blank_penalty,
+                                     blank_id, chunk)
+
     def forward_attention_decoder(self, hyps, hyps_lens, encoder_out,
                                   reverse_weight: float = 0.0,
                                   encoder_mask=None):

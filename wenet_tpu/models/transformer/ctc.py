@@ -72,3 +72,66 @@ class CTC(nn.Module):
 
     def logits(self, hs_pad: jax.Array) -> jax.Array:
         return self.ctc_lo(hs_pad)
+
+    # -- chunked heads: never materialize the (B, T, V) posterior -------
+    #
+    # V is 16-50x larger than D for ASR vocabularies, so the dense
+    # posterior dominates a fused decode program's working set (B=64,
+    # T'=375, V=4233 -> 406 MB fp32, the VMEM-spill cliff measured in
+    # BENCH_NOTES' batch sweep).  Greedy/top-k decode only ever needs
+    # per-frame argmax/top-k, which is computable per T-chunk inside a
+    # lax.scan: each step projects (B, chunk, D) -> (B, chunk, V),
+    # reduces, and discards the logits.  Peak live posterior is
+    # B*chunk*V regardless of T.
+
+    def _head_params(self):
+        p = self.ctc_lo.variables['params']
+        return p['kernel'], p['bias']
+
+    def _chunk_scan(self, hs_pad: jax.Array, chunk: int, step_fn):
+        """scan `step_fn(logits_chunk) -> pytree of (B, chunk, ...)`
+        over T-chunks of the projected head; returns the pytree with
+        leading (B, T)."""
+        kernel, bias = self._head_params()
+        B, T, _ = hs_pad.shape
+        n = -(-T // chunk)
+        x = jnp.pad(hs_pad, ((0, 0), (0, n * chunk - T), (0, 0)))
+        x = x.reshape(B, n, chunk, -1).transpose(1, 0, 2, 3)
+
+        def step(_, xc):
+            return 0., step_fn(xc @ kernel + bias)
+
+        _, out = jax.lax.scan(step, 0., x)  # leaves: (n, B, chunk, ...)
+        return jax.tree_util.tree_map(
+            lambda a: a.transpose(1, 0, *range(2, a.ndim)).reshape(
+                B, n * chunk, *a.shape[3:])[:, :T], out)
+
+    def argmax_chunked(self, hs_pad: jax.Array,
+                       blank_penalty: float = 0.0, blank_id: int = 0,
+                       chunk: int = 16) -> jax.Array:
+        """(B, T) greedy ids == argmax of ctc_logprobs (asr_model.py
+        ctc_logprobs; ref wenet/transformer/asr_model.py:253-265):
+        log_softmax is a per-frame monotone shift, so argmax over the
+        (penalized) logits is identical and no softmax is needed."""
+
+        def step_fn(logits):
+            if blank_penalty > 0.0:
+                logits = logits.at[:, :, blank_id].add(-blank_penalty)
+            return jnp.argmax(logits, axis=-1)
+
+        return self._chunk_scan(hs_pad, chunk, step_fn)
+
+    def topk_chunked(self, hs_pad: jax.Array, k: int,
+                     blank_penalty: float = 0.0, blank_id: int = 0,
+                     chunk: int = 16):
+        """Per-frame (log-prob values, ids) top-k of the CTC posterior,
+        each (B, T, k).  Values are true log-softmax probabilities (the
+        prefix beam scores with them), computed per chunk — per-frame
+        math is unchanged, only the T-tiling differs."""
+
+        def step_fn(logits):
+            if blank_penalty > 0.0:
+                logits = logits.at[:, :, blank_id].add(-blank_penalty)
+            return jax.lax.top_k(jax.nn.log_softmax(logits, axis=-1), k)
+
+        return self._chunk_scan(hs_pad, chunk, step_fn)
