@@ -23,7 +23,7 @@ import numpy as np
 
 def main(dtype=jnp.bfloat16, label='bf16', donate=True, iters=10,
          prng_impl='unsafe_rbg', batch=16, seconds=12.0,
-         grad_ckpt=False):
+         grad_ckpt=False, selective_remat=False):
     # threefry bit-generation costs ~45% of the step on TPU (measured:
     # 55.7 -> 30.8 ms/step); unsafe_rbg is the shipped train default
     jax.config.update('jax_default_prng_impl', prng_impl)
@@ -37,6 +37,10 @@ def main(dtype=jnp.bfloat16, label='bf16', donate=True, iters=10,
     configs = _flagship_config()
     if grad_ckpt:
         configs['encoder_conf']['gradient_checkpointing'] = True
+    elif selective_remat:
+        # recompute ONLY the (T, T) attention scores/softmax in
+        # backward (encoder.py _remat_layer 'selective')
+        configs['encoder_conf']['gradient_checkpointing'] = 'selective'
     configs.setdefault('optim', 'adam')
     configs.setdefault('optim_conf', {'lr': 1e-3})
     configs.setdefault('scheduler', 'warmuplr')
@@ -110,12 +114,18 @@ if __name__ == '__main__':
                     help='remat encoder layers (recompute fwd in bwd: '
                          'trades FLOPs for residual HBM traffic, '
                          'enables larger batches)')
+    ap.add_argument('--selective_remat', action='store_true',
+                    help='recompute only the (T,T) attention scores/'
+                         'softmax in backward (selective activation '
+                         'recomputation)')
     args = ap.parse_args()
     if args.fp32:
         main(jnp.float32, 'fp32', donate=not args.no_donate,
              prng_impl=args.prng_impl, batch=args.batch,
-             seconds=args.seconds, grad_ckpt=args.grad_ckpt)
+             seconds=args.seconds, grad_ckpt=args.grad_ckpt,
+             selective_remat=args.selective_remat)
     else:
         main(jnp.bfloat16, 'bf16', donate=not args.no_donate,
              prng_impl=args.prng_impl, batch=args.batch,
-             seconds=args.seconds, grad_ckpt=args.grad_ckpt)
+             seconds=args.seconds, grad_ckpt=args.grad_ckpt,
+             selective_remat=args.selective_remat)

@@ -63,6 +63,49 @@ def test_grad_checkpointing_same_grads():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_selective_attention_remat_same_grads():
+    """gradient_checkpointing='selective' (recompute only the tagged
+    (T, T) attention scores/softmax in backward, encoder.py
+    _remat_layer) must be a pure memory/schedule change: grads equal
+    the plain path."""
+    from wenet_tpu.utils.init_model import init_model, init_variables
+    rng = np.random.RandomState(0)
+    batch = {'feats': jnp.asarray(rng.randn(2, 48, 80), jnp.float32),
+             'feats_lengths': jnp.asarray([48, 40]),
+             'target': jnp.asarray([[2, 3, 4, -1], [5, 6, -1, -1]],
+                                   jnp.int32),
+             'target_lengths': jnp.asarray([3, 2])}
+    grads = {}
+    variables0 = None
+    for ckpt in (False, 'selective'):
+        cfg = _cfg(ckpt)
+        # dropout INSIDE the recomputed region must replay the same
+        # mask (remat replays the same rng ops)
+        cfg['encoder_conf']['attention_dropout_rate'] = 0.1
+        model, configs = init_model(None, cfg)
+        variables, _ = init_variables(model, configs)
+        if variables0 is None:
+            variables0 = variables
+        else:
+            variables = variables0
+
+        def loss(params):
+            out = model.apply({**variables, 'params': params},
+                              batch['feats'], batch['feats_lengths'],
+                              batch['target'], batch['target_lengths'],
+                              train=True,
+                              rngs={'dropout': jax.random.PRNGKey(3)})
+            return out['loss']
+
+        grads[ckpt] = jax.jit(jax.grad(loss))(variables['params'])
+    flat_a = jax.tree_util.tree_leaves(grads[False])
+    flat_b = jax.tree_util.tree_leaves(grads['selective'])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_tokenizers_picklable(tmp_path):
     """ref: test/wenet/text/test_parallel.py — tokenizers must survive
     pickling for multi-process dataloaders."""

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from wenet_tpu.ops.dropout import Dropout
 T_CACHE = Tuple[jax.Array, jax.Array]  # (k, v): (B, h_kv, T, d_k)
@@ -36,12 +37,24 @@ def repeat_kv(x: jax.Array, n_repeat: int) -> jax.Array:
 # (whisper 1500-frame encoder, long-form audio); the blockwise kernel
 # avoids materializing (T1, T2) scores in HBM.  Toggle with
 # `enable_flash_attention`.
-_FLASH = {'enabled': False, 'min_len': 512}
+_FLASH = {'enabled': False, 'min_len': 512,
+          'score_elems': 24 * 1024 * 1024}
 
 
-def enable_flash_attention(enabled: bool = True, min_len: int = 512):
+def enable_flash_attention(enabled: bool = True, min_len: int = 512,
+                           score_elems: int = 24 * 1024 * 1024):
+    """min_len: sequence-length gate — flash wins at long T (1.6x at
+    T=1500) while XLA's fused attention wins at conformer T'~400 for
+    small batches.  score_elems: BATCH-AREA gate — once the per-layer
+    (B, h, Tq, Tk) score tensor passes this many elements the XLA
+    path's fp32 scores spill past VMEM-friendly tiling and flash wins
+    on memory, not math (measured on v5e, B=64xT'=375 offline decode:
+    XLA 19.3k -> flash 27.6k audio-sec/s; B<=32 at the same T' stays
+    XLA, BENCH_NOTES.md batch sweep).  24M sits between the measured
+    B=32 (18.4M, XLA better) and B=64 (36.9M, flash better) points."""
     _FLASH['enabled'] = enabled
     _FLASH['min_len'] = min_len
+    _FLASH['score_elems'] = score_elems
 
 
 def _flash_eligible(q, k) -> bool:
@@ -51,8 +64,12 @@ def _flash_eligible(q, k) -> bool:
         return False
     if jax.default_backend() != 'tpu':  # mosaic kernel; XLA elsewhere
         return False
-    return (q.shape[2] >= _FLASH['min_len']
-            and k.shape[2] >= _FLASH['min_len'])
+    if q.shape[2] >= _FLASH['min_len'] and k.shape[2] >= _FLASH['min_len']:
+        return True
+    # batch-area gate (needs a full kernel block of query rows)
+    score_elems = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
+    return (q.shape[2] >= 128 and k.shape[2] >= 128
+            and score_elems >= _FLASH['score_elems'])
 
 
 def attention_core(q: jax.Array,
@@ -81,11 +98,17 @@ def attention_core(q: jax.Array,
     scores = scores * scale
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.asarray(-1.0e30, scores.dtype))
+    # 'attn_scores' tags the (T1, T2) intermediates for selective
+    # remat (encoder gradient_checkpointing='selective'): the policy
+    # recomputes exactly these in backward instead of saving them to
+    # HBM.  checkpoint_name is identity outside a remat context.
+    scores = checkpoint_name(scores, 'attn_scores')
     attn = jax.nn.softmax(scores, axis=-1)
     if mask is not None:
         attn = jnp.where(mask, attn, 0.0)
     if dropout_fn is not None:
         attn = dropout_fn(attn)
+    attn = checkpoint_name(attn, 'attn_scores')
     attn = attn.astype(v.dtype)
     return jnp.einsum('...qk,...kd->...qd', attn, v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
@@ -332,11 +355,17 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
             m = _expand_mask(mask)
             scores = jnp.where(m, scores,
                                jnp.asarray(-1.0e30, scores.dtype))
+        # see attention_core: selective-remat tag for the (T1, T2)
+        # intermediates — in 'selective' mode the fp32 scores/attn are
+        # recomputed in backward (2 cheap einsums) instead of living
+        # in HBM as residuals
+        scores = checkpoint_name(scores, 'attn_scores')
         attn = jax.nn.softmax(scores, axis=-1)
         if mask is not None:
             attn = jnp.where(m, attn, 0.0)
         if dropout_fn is not None:
             attn = dropout_fn(attn)
+        attn = checkpoint_name(attn, 'attn_scores')
         ctx = jnp.einsum('bhqk,bhkd->bhqd', attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         return self._finish(ctx), new_cache

@@ -78,7 +78,13 @@ class BaseEncoder(nn.Module):
     use_cmvn: bool = False
     cmvn_norm_var: bool = True
     use_dynamic_left_chunk: bool = False
-    gradient_checkpointing: bool = False
+    # False | True (full per-layer remat, ref encoder.py
+    # gradient_checkpointing) | 'selective' (save everything EXCEPT the
+    # (T, T) attention scores/softmax, which are recomputed in backward
+    # — Megatron-style selective activation recomputation; costs ~2
+    # extra (T, T) einsums per layer, removes the largest train
+    # residuals from HBM)
+    gradient_checkpointing: Union[bool, str] = False
     layer_norm_type: str = 'layer_norm'
     norm_eps: float = 1e-5
     final_norm: bool = True
@@ -257,6 +263,19 @@ class BaseEncoder(nn.Module):
                          dtype)
 
 
+def _remat_layer(layer_cls, mode):
+    """Per-layer remat wrapper.  mode True: full recompute (ref
+    gradient_checkpointing).  mode 'selective': save every residual
+    EXCEPT values tagged 'attn_scores' (the (T, T) fp32 score/softmax
+    tensors, attention.py) — backward re-derives them from the saved
+    q/k/p projections at the cost of ~2 (T, T) einsums per layer."""
+    if mode == 'selective':
+        policy = jax.checkpoint_policies.save_any_names_but_these(
+            'attn_scores')
+        return nn.remat(layer_cls, static_argnums=(7,), policy=policy)
+    return nn.remat(layer_cls, static_argnums=(7,))
+
+
 class TransformerEncoder(BaseEncoder):
     """ref: encoder.py:365-436."""
     selfattention_layer_type: str = 'selfattn'
@@ -266,7 +285,8 @@ class TransformerEncoder(BaseEncoder):
     def make_layers(self):
         layer_cls = TransformerEncoderLayer
         if self.gradient_checkpointing:
-            layer_cls = nn.remat(layer_cls, static_argnums=(7,))
+            layer_cls = _remat_layer(layer_cls,
+                                     self.gradient_checkpointing)
         return [
             layer_cls(
                 size=self.output_size,
@@ -312,7 +332,8 @@ class ConformerEncoder(BaseEncoder):
     def make_layers(self):
         layer_cls = ConformerEncoderLayer
         if self.gradient_checkpointing:
-            layer_cls = nn.remat(layer_cls, static_argnums=(7,))
+            layer_cls = _remat_layer(layer_cls,
+                                     self.gradient_checkpointing)
         return [
             layer_cls(
                 size=self.output_size,
