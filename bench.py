@@ -186,6 +186,97 @@ def bench_prefix_beam(batch: int = 16):
     print(json.dumps(out))
 
 
+def bench_attention(batch: int = 16, whisper: bool = False):
+    """AR attention-beam decode throughput (the DEFAULT mode for
+    whisper/firered — ref wenet/models/whisper/whisper.py:31,
+    firered/model.py:33) on the pipelined
+    AsrRunner.decode_attention_batches path: the whole beam search is
+    ONE jitted while_loop program (search.py _attention_beam_program),
+    encoder+beam for batch i+1 dispatches while batch i's
+    (hyps, scores) fetch overlaps on the worker pool.
+
+    Honesty note: with random weights no beam ever emits <eos>, so the
+    while_loop runs its full `maxlen+1` step bound — the WORST-CASE
+    AR decode (real utterances exit early on-device).  The
+    `ar_steps_per_sec` line is therefore the load-bearing figure:
+    real-transcript throughput = ar_steps_per_sec x (audio_sec per
+    emitted token).  `--whisper` benches a whisper-base-shaped model
+    (d512 6+6, V=51865) WITH task/lang prompt prefixes."""
+    from wenet_tpu.models.runner import AsrRunner
+    from wenet_tpu.utils.init_model import init_model, init_variables
+
+    if whisper:
+        B = min(batch, 8)
+        # 8 s -> T'=400 beam steps: keeps the worst-case while_loop
+        # bound (encoder len + 1) inside whisper's 448-position
+        # learnable decoder PE, mirroring whisper's own n_text_ctx
+        # generation cap
+        SECONDS = 8.0
+        configs = _whisper_bench_config()
+        beam = 5
+    else:
+        from __graft_entry__ import _flagship_config
+        B = batch
+        SECONDS = 15.0
+        configs = _flagship_config()
+        beam = 10
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+    runner = AsrRunner(model, variables, dtype=jnp.bfloat16)
+
+    T = int(SECONDS * 100)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, configs['input_dim']),
+                        jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    infos = ({'tasks': ['transcribe'] * B, 'langs': ['zh'] * B}
+             if whisper else None)
+    iters = 3 if whisper else 6
+    batches = [((feats + 1e-3 * i, lens, infos) if infos
+                else (feats + 1e-3 * i, lens)) for i in range(iters)]
+
+    list(runner.decode_attention_batches(batches[:1],
+                                         beam_size=beam))  # compile
+    best_dt = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = list(runner.decode_attention_batches(batches,
+                                                    beam_size=beam))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    assert len(outs) == iters
+    throughput = B * SECONDS * iters / best_dt
+    # steps actually executed: with random weights nothing emits <eos>,
+    # so every emitted token == one while_loop AR step
+    maxlen = max(len(r.tokens) for r in outs[0])
+    out = {
+        'metric': ('whisper_attention_beam_throughput' if whisper
+                   else 'attention_beam_throughput'),
+        'value': round(throughput, 1),
+        'unit': 'audio_sec/sec/chip (worst-case: no early exit)',
+        'vs_baseline': round(throughput / 2000.0, 3),
+        'ar_steps_per_sec': round(maxlen * B * iters / best_dt, 1),
+        'beam': beam, 'batch': B,
+    }
+    print(json.dumps(out))
+
+
+def _whisper_bench_config():
+    """whisper-base layout (d512, 6+6, V=51865 multilingual, 80 mels)
+    via the real converter config builder — the ref family
+    default-decodes with attention beam
+    (wenet/models/whisper/whisper.py:31)."""
+    from wenet_tpu.models.whisper.convert import build_config
+    v = 51865
+    dims = {'n_mels': 80, 'n_vocab': v, 'n_audio_state': 512,
+            'n_audio_head': 8, 'n_audio_layer': 6, 'n_text_state': 512,
+            'n_text_head': 8, 'n_text_layer': 6, 'n_audio_ctx': 1500,
+            'n_text_ctx': 448}
+    st = {'sot': v - 10, 'eot': v - 11, 'sot_prev': v - 9,
+          'transcribe': v - 8, 'translate': v - 7, 'no_timestamps': v - 6,
+          'no_speech': v - 5, 'timestamp_begin': v - 4}
+    return build_config(dims, st)
+
+
 def _paraformer_bench_config():
     """d512 12+6 SAN-M paraformer, V=5537 — reduced-depth
     paraformer-large layout (the ref recipe
@@ -263,6 +354,13 @@ def bench_paraformer(batch: int = 16):
 def main(batch: int = 16):
     from __graft_entry__ import _flagship_config
     from wenet_tpu.utils.init_model import init_model
+    from wenet_tpu.models.transformer.attention import (
+        enable_flash_attention)
+
+    # same dispatch policy as the production AsrRunner (runner.py:58):
+    # pallas flash for long T and for large batch-area (B, h, T, T)
+    # score tensors where XLA's fp32 scores spill past VMEM tiling
+    enable_flash_attention(True, min_len=512)
 
     configs = _flagship_config()
     model, configs = init_model(None, configs)
@@ -291,8 +389,11 @@ def main(batch: int = 16):
     def decode_fwd(variables, feats, feats_lengths, c):
         enc, mask = model.apply(variables, feats + c, feats_lengths,
                                 method=model.forward_encoder)
-        logp = model.apply(variables, enc, method=model.ctc_logprobs)
-        hyps = jnp.argmax(logp, axis=-1)
+        # chunked head: per-frame argmax without the (B, T', V)
+        # posterior ever existing (ctc.py argmax_chunked) — identical
+        # ids to argmax(log_softmax(logits)), tested in
+        # tests/test_ctc_chunked.py
+        hyps = model.apply(variables, enc, method=model.ctc_argmax)
         return hyps, jnp.sum(mask[:, 0], -1)
 
     # ONE compile, reused for execution + the XLA FLOP count
@@ -344,5 +445,7 @@ if __name__ == '__main__':
         bench_prefix_beam(batch)
     elif '--mode' in sys.argv and 'paraformer' in sys.argv:
         bench_paraformer(batch)
+    elif '--mode' in sys.argv and 'attention' in sys.argv:
+        bench_attention(batch, whisper='--whisper' in sys.argv)
     else:
         main(batch)

@@ -1,0 +1,150 @@
+"""Protocol-level websocket serving benchmark.
+
+Measures the PRODUCT serving path end-to-end: builds a flagship U2++
+model dir (random weights — throughput/latency do not depend on weight
+values), launches the real `wenet_tpu.bin.websocket_server_main`
+subprocess with cross-session batch serving, then drives it with N
+concurrent REAL-TIME-paced websocket clients via
+tools/websocket/performance-ws.py and reports partial-result latency
+percentiles (p50/p90/p99) per concurrency step plus the largest N that
+sustains real time.
+
+"Sustains real time" = every client finishes within
+audio_duration x 1.25 + 2 s (pacing plus a bounded final-decode tail)
+and no client errored.  (ref product surface:
+runtime/core/websocket/websocket_server.cc:42-118 + the ref's own
+tools/websocket/performance-ws.py; VERDICT r3 missing-item #4.)
+
+Caveats recorded with the number in BENCH_NOTES.md: this VM has ONE
+cpu core shared by the server process, every client coroutine and the
+C++ beam threads, and the TPU sits behind a ~25-30 ms RTT tunnel — both
+bound the measured latency far before the chip does.
+
+Usage:
+    python bench_serving.py [--steps 8,32,64] [--audio_sec 8]
+"""
+
+import argparse
+import asyncio
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def build_model_dir(tmp: str, small: bool = False) -> str:
+    """train.yaml + units.txt + orbax 'final' for the flagship model."""
+    import yaml
+    from __graft_entry__ import _flagship_config
+    from wenet_tpu.utils.checkpoint import save_checkpoint
+    from wenet_tpu.utils.init_model import init_model, init_variables
+
+    configs = _flagship_config(small=small)
+    model, configs = init_model(None, configs)
+    variables, _ = init_variables(model, configs)
+
+    model_dir = os.path.join(tmp, 'model')
+    os.makedirs(model_dir, exist_ok=True)
+    units = os.path.join(model_dir, 'units.txt')
+    with open(units, 'w') as f:
+        f.write('<blank> 0\n<unk> 1\n')
+        for i in range(2, configs['output_dim'] - 1):
+            f.write(f'u{i} {i}\n')
+        f.write(f"<sos/eos> {configs['output_dim'] - 1}\n")
+    conf = dict(configs)
+    conf['tokenizer'] = 'char'
+    conf['tokenizer_conf'] = {'symbol_table_path': units}
+    conf['dataset_conf'] = {'fbank_conf': {'num_mel_bins': 80,
+                                           'frame_shift': 10,
+                                           'frame_length': 25}}
+    with open(os.path.join(model_dir, 'train.yaml'), 'w') as f:
+        yaml.safe_dump(conf, f)
+    save_checkpoint(variables, os.path.join(model_dir, 'final'))
+    return model_dir
+
+
+def wait_port(port: int, proc, timeout_s: float = 600.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if proc.poll() is not None:
+            raise RuntimeError(f'server exited rc={proc.returncode}')
+        with socket.socket() as s:
+            s.settimeout(0.5)
+            try:
+                s.connect(('127.0.0.1', port))
+                return
+            except OSError:
+                time.sleep(0.5)
+    raise TimeoutError('server never opened its port')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', default='8,32,64',
+                    help='comma-separated client concurrencies to ramp')
+    ap.add_argument('--audio_sec', type=float, default=8.0)
+    ap.add_argument('--chunk_ms', type=int, default=640,
+                    help='640 ms == chunk_size 16 x 4 x 10 ms frames')
+    ap.add_argument('--port', type=int, default=10196)
+    ap.add_argument('--max_batch', type=int, default=16)
+    ap.add_argument('--small', action='store_true',
+                    help='64d/2L model for smoke runs (compile time)')
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, 'tools', 'websocket'))
+    perf = __import__('performance-ws')
+
+    with tempfile.TemporaryDirectory() as tmp:
+        model_dir = build_model_dir(tmp, small=args.small)
+        proc = subprocess.Popen(
+            [sys.executable, '-m', 'wenet_tpu.bin.websocket_server_main',
+             '--model_dir', model_dir, '--port', str(args.port),
+             '--host', '127.0.0.1', '--chunk_size', '16',
+             '--batch_serving', '--max_batch', str(args.max_batch)],
+            cwd=REPO)
+        rows = []
+        try:
+            wait_port(args.port, proc)
+            # warmup: compile the chunk-step programs for every batch
+            # bucket before timing
+            warm = argparse.Namespace(
+                url=f'ws://127.0.0.1:{args.port}', wav_path=None,
+                synthetic_sec=2.0, concurrency=2,
+                chunk_ms=args.chunk_ms, real_time=False)
+            asyncio.run(perf.run(warm))
+            for n in [int(x) for x in args.steps.split(',')]:
+                a = argparse.Namespace(
+                    url=f'ws://127.0.0.1:{args.port}', wav_path=None,
+                    synthetic_sec=args.audio_sec, concurrency=n,
+                    chunk_ms=args.chunk_ms, real_time=True)
+                rows.append(asyncio.run(perf.run(a)))
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+
+    budget = args.audio_sec * 1.25 + 2.0
+    ok = [r for r in rows
+          if r['errors'] == 0 and r['client_wall_max'] <= budget]
+    out = {
+        'metric': 'websocket_realtime_streams',
+        'value': max((r['clients'] for r in ok), default=0),
+        'unit': 'concurrent real-time streams/chip (protocol-level)',
+        'vs_baseline': None,
+        'steps': rows,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()

@@ -23,10 +23,17 @@ import numpy as np
 
 def main(dtype=jnp.bfloat16, label='bf16', donate=True, iters=10,
          prng_impl='unsafe_rbg', batch=16, seconds=12.0,
-         grad_ckpt=False, selective_remat=False):
+         grad_ckpt=False, selective_remat=False, profile_dir=None,
+         flash_train=False):
     # threefry bit-generation costs ~45% of the step on TPU (measured:
     # 55.7 -> 30.8 ms/step); unsafe_rbg is the shipped train default
     jax.config.update('jax_default_prng_impl', prng_impl)
+    if flash_train:
+        # rel-pos self-attention through the pallas flash kernels with
+        # in-kernel dropout: no (T, T) HBM traffic either direction
+        from wenet_tpu.models.transformer.attention import (
+            enable_flash_attention)
+        enable_flash_attention(True, train_dropout=True)
     from __graft_entry__ import _flagship_config
     from wenet_tpu.utils.init_model import init_model, init_variables
     from wenet_tpu.utils.mfu import compiled_flops, mfu
@@ -76,6 +83,14 @@ def main(dtype=jnp.bfloat16, label='bf16', donate=True, iters=10,
     state, metrics = train_step(state, batches[0], key)  # warm run
     float(jax.device_get(metrics['loss']))
 
+    if profile_dir:
+        # device trace of 3 steady-state steps (bound analysis for the
+        # train-MFU row in BENCH_NOTES.md)
+        with jax.profiler.trace(profile_dir):
+            for i in range(3):
+                state, metrics = train_step(state, batches[i], key)
+            float(jax.device_get(metrics['loss']))
+
     best_dt = float('inf')
     for _ in range(2):
         t0 = time.perf_counter()
@@ -118,14 +133,19 @@ if __name__ == '__main__':
                     help='recompute only the (T,T) attention scores/'
                          'softmax in backward (selective activation '
                          'recomputation)')
+    ap.add_argument('--profile_dir', default=None,
+                    help='capture a jax.profiler device trace of 3 '
+                         'steady-state steps into this dir')
+    ap.add_argument('--flash_train', action='store_true',
+                    help='rel-pos attention via pallas flash kernels '
+                         'with in-kernel dropout (the bin/train.py '
+                         'default)')
     args = ap.parse_args()
-    if args.fp32:
-        main(jnp.float32, 'fp32', donate=not args.no_donate,
-             prng_impl=args.prng_impl, batch=args.batch,
-             seconds=args.seconds, grad_ckpt=args.grad_ckpt,
-             selective_remat=args.selective_remat)
-    else:
-        main(jnp.bfloat16, 'bf16', donate=not args.no_donate,
-             prng_impl=args.prng_impl, batch=args.batch,
-             seconds=args.seconds, grad_ckpt=args.grad_ckpt,
-             selective_remat=args.selective_remat)
+    main(jnp.float32 if args.fp32 else jnp.bfloat16,
+         'fp32' if args.fp32 else 'bf16',
+         donate=not args.no_donate,
+         prng_impl=args.prng_impl, batch=args.batch,
+         seconds=args.seconds, grad_ckpt=args.grad_ckpt,
+         selective_remat=args.selective_remat,
+         profile_dir=args.profile_dir,
+         flash_train=args.flash_train)

@@ -26,6 +26,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 # ---------------------------------------------------------------------------
 SLOW_TESTS = {
     'test_grad_checkpointing_same_grads',
+    'test_sharded_attention_beam_identical',
+    'test_sharded_rescoring_identical',
     'test_efficient_conformer_via_registry',
     'test_dummy_rows_keep_loss_finite_and_scaled',
     'test_paraformer_loss',

@@ -259,3 +259,122 @@ def test_relpos_flash_grad_parity_long_t():
         assert a.shape == b.shape, name
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3, err_msg=name)
+
+
+def test_relpos_flash_dropout_matches_oracle():
+    """In-kernel attention dropout: the kernel's counter-hash mask is
+    regenerated densely by _relpos_reference, so output AND autodiff
+    gradients must match exactly-sampled dropout (VERDICT r4 train-MFU
+    work: dropout had to move inside the kernel because the XLA path's
+    (T,T) fp32 score+mask HBM traffic bounded the train step)."""
+    from wenet_tpu.ops.flash_attention import (_relpos_reference,
+                                               flash_attention_relpos)
+    B, h, T1, T2, d = 2, 2, 40, 56, 32
+    rate, seed = 0.1, 1234
+    rng = np.random.RandomState(7)
+    q1 = jnp.asarray(rng.randn(B, h, T1, d), jnp.float32) * 0.4
+    q2 = jnp.asarray(rng.randn(B, h, T1, d), jnp.float32) * 0.4
+    k = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32) * 0.4
+    p = jnp.asarray(rng.randn(1, h, T2, d), jnp.float32) * 0.4
+    v = jnp.asarray(rng.randn(B, h, T2, d), jnp.float32) * 0.4
+    lens = rng.randint(T2 // 2, T2 + 1, size=(B,))
+    mask = jnp.asarray(
+        np.arange(T2)[None, :] < lens[:, None])[:, None, :]
+    scale = 1.0 / np.sqrt(d)
+
+    got = flash_attention_relpos(q1, q2, k, p, v, mask, scale, 16, 16,
+                                 jnp.uint32(seed), rate)
+    ref = _relpos_reference(q1, q2, k, p, v, mask[:, None], scale,
+                            dropout_rate=rate, dropout_seed=seed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5)
+    # dropout actually dropped something
+    nodrop = flash_attention_relpos(q1, q2, k, p, v, mask, scale,
+                                    16, 16)
+    assert not np.allclose(np.asarray(got), np.asarray(nodrop))
+    # determinism + seed sensitivity
+    again = flash_attention_relpos(q1, q2, k, p, v, mask, scale, 16,
+                                   16, jnp.uint32(seed), rate)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(again))
+    other = flash_attention_relpos(q1, q2, k, p, v, mask, scale, 16,
+                                   16, jnp.uint32(seed + 1), rate)
+    assert not np.allclose(np.asarray(got), np.asarray(other))
+
+    def loss_f(q1, q2, k, p, v):
+        return jnp.sum(jnp.tanh(flash_attention_relpos(
+            q1, q2, k, p, v, mask, scale, 16, 16, jnp.uint32(seed),
+            rate)))
+
+    def loss_r(q1, q2, k, p, v):
+        return jnp.sum(jnp.tanh(_relpos_reference(
+            q1, q2, k, p, v, mask[:, None], scale, dropout_rate=rate,
+            dropout_seed=seed)))
+
+    g_f = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(q1, q2, k, p, v)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(q1, q2, k, p, v)
+    for name, a, b in zip('q1 q2 k p v'.split(), g_f, g_r):
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3, err_msg=name)
+
+
+def test_dropout_hash_keep_rate():
+    """The counter-hash keep probability must track 1-rate (i.i.d.
+    Bernoulli to fmix32 avalanche quality)."""
+    from wenet_tpu.ops.flash_attention import _dropout_mult
+    qi = jnp.arange(512, dtype=jnp.int32).reshape(-1, 1)
+    ki = jnp.arange(512, dtype=jnp.int32).reshape(1, -1)
+    for rate in (0.1, 0.5):
+        m = _dropout_mult(jnp.uint32(42), jnp.int32(3), qi, ki, rate)
+        keep = float(jnp.mean((m > 0).astype(jnp.float32)))
+        assert abs(keep - (1.0 - rate)) < 0.01, (rate, keep)
+        # inverted-dropout scaling: kept entries are 1/(1-rate)
+        np.testing.assert_allclose(float(jnp.max(m)), 1.0 / (1.0 - rate),
+                                   rtol=1e-6)
+    # different rows/cols decorrelated: no column entirely dropped
+    m = _dropout_mult(jnp.uint32(42), jnp.int32(3), qi, ki, 0.5)
+    assert float(jnp.min(jnp.sum((m > 0), axis=0))) > 180
+
+
+def test_relpos_module_train_dropout_dispatch():
+    """With train_dropout gating forced on, the rel-pos module's
+    TRAINING path (attention dropout active) routes through the flash
+    kernel with in-kernel dropout: output must differ from the
+    deterministic forward (something dropped), keep the same shape,
+    and carry finite grads through a jitted loss."""
+    from wenet_tpu.models.transformer import attention as A
+    from wenet_tpu.models.transformer.embedding import (
+        sinusoidal_position_encoding)
+    B, T, D, H = 2, 130, 32, 2
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    pos = jnp.broadcast_to(sinusoidal_position_encoding(0, T, D),
+                           (B, T, D))
+    mask = jnp.asarray(np.arange(T)[None, :] <
+                       np.asarray([T, T - 7])[:, None])[:, None, :]
+    mod = A.RelPositionMultiHeadedAttention(n_head=H, n_feat=D,
+                                            dropout_rate=0.2)
+    variables = mod.init(jax.random.PRNGKey(0), x, x, x, mask, pos)
+    det, _ = mod.apply(variables, x, x, x, mask, pos,
+                       deterministic=True)
+    orig_backend = A.jax.default_backend
+    try:
+        A.enable_flash_attention(True, train_dropout=True)
+        A.jax.default_backend = lambda: 'tpu'  # interpret fixture on
+
+        def loss(variables):
+            out, _ = mod.apply(variables, x, x, x, mask, pos,
+                               deterministic=False,
+                               rngs={'dropout': jax.random.PRNGKey(7)})
+            return jnp.sum(out ** 2), out
+
+        (val, out), grads = jax.value_and_grad(loss, has_aux=True)(
+            variables)
+    finally:
+        A.jax.default_backend = orig_backend
+        A.enable_flash_attention(False)
+    assert out.shape == det.shape
+    assert not np.allclose(np.asarray(out), np.asarray(det))
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))

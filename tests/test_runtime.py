@@ -129,6 +129,50 @@ def test_websocket_roundtrip(streaming_model):
     assert isinstance(nbest, list) and 'sentence' in nbest[0]
 
 
+def test_performance_ws_tool(streaming_model):
+    """tools/websocket/performance-ws.py against an in-process server:
+    concurrent clients, send-timestamp pairing, latency percentiles
+    (the protocol-level serving bench, bench_serving.py)."""
+    websockets = pytest.importorskip('websockets')
+    import argparse
+    import importlib
+    import os
+    import sys
+    from wenet_tpu.runtime.asr_decoder import AsrDecoder, DecodeOptions
+    from wenet_tpu.runtime.websocket.server import ConnectionHandler
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'tools', 'websocket'))
+    perf = importlib.import_module('performance-ws')
+
+    model, variables, tokenizer = streaming_model
+
+    def factory():
+        return AsrDecoder(model, variables, tokenizer,
+                          DecodeOptions(chunk_size=4, num_left_chunks=2,
+                                        beam_size=3))
+
+    async def run():
+        async def handle(ws):
+            await ConnectionHandler(ws, factory).run()
+
+        async with websockets.serve(handle, '127.0.0.1', 0) as server:
+            port = server.sockets[0].getsockname()[1]
+            args = argparse.Namespace(
+                url=f'ws://127.0.0.1:{port}', wav_path=None,
+                synthetic_sec=0.8, concurrency=3, chunk_ms=200,
+                real_time=False)
+            return await perf.run(args)
+
+    out = asyncio.run(run())
+    assert out['clients'] == 3 and out['errors'] == 0
+    assert out['final_p50'] is not None and out['final_p50'] >= 0
+    # every client produced a final; partial latencies are paired with
+    # real send timestamps, so they must be positive when present
+    if out['n_partials']:
+        assert out['partial_p50'] > 0
+        assert out['partial_p99'] >= out['partial_p50']
+
+
 def test_native_beam_matches_python():
     from wenet_tpu.runtime.ctc_prefix_beam_search import (
         CtcPrefixBeamSearch)

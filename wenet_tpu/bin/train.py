@@ -51,6 +51,16 @@ def get_args():
                              'hardware RNG path (+79%% step throughput '
                              'measured, BENCH_NOTES.md) and is the '
                              'standard choice for TPU training')
+    parser.add_argument('--no_flash_train', action='store_true',
+                        help='disable the pallas flash rel-pos '
+                             'attention kernels (in-kernel dropout) '
+                             'for training.  Default ON on TPU: the '
+                             'XLA train path\'s (B,h,T,T) fp32 score/'
+                             'mask HBM traffic is the measured step '
+                             'bound (BENCH_NOTES.md trace analysis); '
+                             'the flash dropout stream differs from '
+                             'flax nn.Dropout (same rate, '
+                             'deterministic per seed)')
     parser.add_argument('--profile_dir', default=None,
                         help='write a jax.profiler trace (xplane, '
                              'viewable in tensorboard/xprof) covering '
@@ -70,6 +80,11 @@ def parse_mesh(spec):
 def main():
     args = get_args()
     jax.config.update('jax_default_prng_impl', args.prng_impl)
+    if not args.no_flash_train:
+        # no-op off-TPU (_flash_train_eligible checks the backend)
+        from wenet_tpu.models.transformer.attention import (
+            enable_flash_attention)
+        enable_flash_attention(True, train_dropout=True)
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(levelname)s %(message)s')
     configs = load_config(args.config, args.override_config)

@@ -22,10 +22,23 @@ class AsrRunner:
 
     def __init__(self, model, variables, dtype=None,
                  use_flash_attention: bool = True,
-                 quantize: bool = False):
+                 quantize: bool = False, mesh=None,
+                 data_axis: str = 'data'):
         """quantize=True stores weights int8 (per-channel, weight-only
         — the quantized-export analog, ref export_jit.py:39-60);
-        dequantization fuses into the jitted programs."""
+        dequantization fuses into the jitted programs.
+
+        mesh: optional jax.sharding.Mesh for DATA-PARALLEL batch
+        decode — params are replicated, every batch shards its leading
+        dim over `data_axis`, and the fused decode programs compile
+        once for the whole slice (GSPMD propagates the shardings; no
+        collectives are needed for inference).  One program then
+        serves a pod slice instead of one chip.  Batch sizes must be
+        divisible by the axis size.  No reference analog — the ref C++
+        runtime decodes per-connection on CPU
+        (runtime/core/decoder/asr_decoder.cc); this is TPU-native
+        scale-out.  Hypothesis-identity vs single-device is tested in
+        tests/test_sharded_decode.py."""
         self.model = model
         if dtype is not None and not quantize:
             variables = jax.tree_util.tree_map(
@@ -43,7 +56,15 @@ class AsrRunner:
         # params must live on device: numpy-leaved pytrees would be
         # re-uploaded on every jitted call (catastrophic over remote
         # TPU links)
-        self.variables = jax.device_put(variables)
+        self._mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.variables = jax.device_put(
+                variables, NamedSharding(mesh, P()))
+            self._batch_sharding = NamedSharding(mesh, P(data_axis))
+        else:
+            self.variables = jax.device_put(variables)
         self._jitted: Dict[str, object] = {}
         self._fp_cache = None
         if use_flash_attention:
@@ -56,6 +77,15 @@ class AsrRunner:
             # T=1500) but XLA's fused attention is faster at the
             # conformer's post-subsampling T~400 (measured on v5e)
             enable_flash_attention(True, min_len=512)
+
+    def _put_batch(self, feats, feats_lengths):
+        """Upload one (feats, lengths) batch; under a mesh, commit the
+        leading dim to the data axis so the jitted programs compile
+        data-parallel across the slice."""
+        if self._batch_sharding is None:
+            return jnp.asarray(feats), jnp.asarray(feats_lengths)
+        return (jax.device_put(feats, self._batch_sharding),
+                jax.device_put(feats_lengths, self._batch_sharding))
 
     def _maybe_dequant(self, variables):
         if self._quant is None:
@@ -528,9 +558,8 @@ class AsrRunner:
         fn = self._ctc_greedy_pipeline_fn(blank_penalty, blank_id)
 
         def dispatch(item):
-            feats, feats_lengths = item
-            return fn(self.variables, jnp.asarray(feats),
-                      jnp.asarray(feats_lengths)), None
+            feats, feats_lengths = self._put_batch(*item)
+            return fn(self.variables, feats, feats_lengths), None
 
         def finalize(fetched, _):
             return [DecodeResult(
@@ -592,9 +621,8 @@ class AsrRunner:
                                         blank_id)
 
         def dispatch(item):
-            feats, feats_lengths = item
-            return fn(self.variables, jnp.asarray(feats),
-                      jnp.asarray(feats_lengths)), None
+            feats, feats_lengths = self._put_batch(*item)
+            return fn(self.variables, feats, feats_lengths), None
 
         def finalize(fetched, _):
             vals, ids, lens = fetched  # already (B, T', K)
@@ -626,8 +654,9 @@ class AsrRunner:
         def dispatch(item):
             feats, feats_lengths = item[0], item[1]
             infos = item[2] if len(item) > 2 else None
-            eo, em = self.forward_encoder(jnp.asarray(feats),
-                                          jnp.asarray(feats_lengths))
+            feats, feats_lengths = self._put_batch(feats,
+                                                   feats_lengths)
+            eo, em = self.forward_encoder(feats, feats_lengths)
             dev, plen = attention_beam_dispatch(
                 self.model, self._variables_fp(), eo, em,
                 beam_size, length_penalty, infos)
@@ -669,9 +698,8 @@ class AsrRunner:
         blank = getattr(self.model, 'blank', 0)
 
         def dispatch(item):
-            feats, feats_lengths = item
-            return fn(self.variables, jnp.asarray(feats),
-                      jnp.asarray(feats_lengths)), None
+            feats, feats_lengths = self._put_batch(*item)
+            return fn(self.variables, feats, feats_lengths), None
 
         def finalize(fetched, _):
             tokens, n_emit = fetched
@@ -738,9 +766,8 @@ class AsrRunner:
                       else paraformer_beam_search_ids)
 
         def dispatch(item):
-            feats, feats_lengths = item
-            return fn(self.variables, jnp.asarray(feats),
-                      jnp.asarray(feats_lengths)), None
+            feats, feats_lengths = self._put_batch(*item)
+            return fn(self.variables, feats, feats_lengths), None
 
         def finalize(fetched, _):
             ids, lp, lens, peaks = fetched

@@ -38,11 +38,12 @@ def repeat_kv(x: jax.Array, n_repeat: int) -> jax.Array:
 # avoids materializing (T1, T2) scores in HBM.  Toggle with
 # `enable_flash_attention`.
 _FLASH = {'enabled': False, 'min_len': 512,
-          'score_elems': 24 * 1024 * 1024}
+          'score_elems': 24 * 1024 * 1024, 'train_dropout': False}
 
 
 def enable_flash_attention(enabled: bool = True, min_len: int = 512,
-                           score_elems: int = 24 * 1024 * 1024):
+                           score_elems: int = 24 * 1024 * 1024,
+                           train_dropout: bool = False):
     """min_len: sequence-length gate — flash wins at long T (1.6x at
     T=1500) while XLA's fused attention wins at conformer T'~400 for
     small batches.  score_elems: BATCH-AREA gate — once the per-layer
@@ -51,10 +52,19 @@ def enable_flash_attention(enabled: bool = True, min_len: int = 512,
     on memory, not math (measured on v5e, B=64xT'=375 offline decode:
     XLA 19.3k -> flash 27.6k audio-sec/s; B<=32 at the same T' stays
     XLA, BENCH_NOTES.md batch sweep).  24M sits between the measured
-    B=32 (18.4M, XLA better) and B=64 (36.9M, flash better) points."""
+    B=32 (18.4M, XLA better) and B=64 (36.9M, flash better) points.
+    train_dropout: route TRAINING rel-pos self-attention (attention
+    dropout active) through the flash kernels with in-kernel
+    counter-hash dropout — the XLA train path's (B, h, T, T) fp32
+    score/softmax/mask HBM traffic (~17 GB/step at flagship B=32) was
+    the measured train-MFU bound (BENCH_NOTES trace analysis).  The
+    dropout mask STREAM differs from flax nn.Dropout (same rate,
+    deterministic per seed), so it is opt-in; bin/train.py enables it
+    by default (--no_flash_train to disable)."""
     _FLASH['enabled'] = enabled
     _FLASH['min_len'] = min_len
     _FLASH['score_elems'] = score_elems
+    _FLASH['train_dropout'] = train_dropout
 
 
 def _flash_eligible(q, k) -> bool:
@@ -70,6 +80,20 @@ def _flash_eligible(q, k) -> bool:
     score_elems = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
     return (q.shape[2] >= 128 and k.shape[2] >= 128
             and score_elems >= _FLASH['score_elems'])
+
+
+def _flash_train_eligible(q, k) -> bool:
+    """Flash dispatch for the TRAINING path (attention dropout active,
+    in-kernel counter-hash dropout).  Gated separately from inference:
+    the flash win here is eliminating the (B, h, T, T) residual HBM
+    traffic of fwd+bwd, which pays at any T the kernel tiles (>=128)."""
+    if not (_FLASH['enabled'] and _FLASH['train_dropout']):
+        return False
+    if q.ndim != 4 or q.shape[1] != k.shape[1]:
+        return False
+    if jax.default_backend() != 'tpu':
+        return False
+    return q.shape[2] >= 128 and k.shape[2] >= 128
 
 
 def attention_core(q: jax.Array,
@@ -345,6 +369,29 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
             ctx = flash_attention_relpos(
                 q + u, q + w, k, p_b, v, mask,
                 scale=1.0 / math.sqrt(self.d_k))
+            return self._finish(ctx), new_cache
+        if dropout_fn is not None and _flash_train_eligible(q, k):
+            # TRAINING flash with in-kernel dropout: fwd+bwd never
+            # touch (T1, T2) tensors in HBM (the measured train-MFU
+            # bound, BENCH_NOTES trace analysis); the dropout mask is
+            # a counter hash seeded per call from the module's
+            # 'dropout' rng stream — same rate, different stream than
+            # flax nn.Dropout (enable_flash_attention train_dropout)
+            from wenet_tpu.ops.flash_attention import (
+                flash_attention_relpos)
+            seed = jax.random.bits(self.make_rng('dropout'), (),
+                                   jnp.uint32)
+            p_b = jnp.broadcast_to(p, (q.shape[0],) + p.shape[1:])
+            # single tile over T (up to 512): at conformer train T'~300
+            # the per-program work is microseconds, so grid-step count,
+            # not VMEM reuse, dominates — measured 128x128 blocks run
+            # 1.5x slower than one T-sized tile at (32,4,299,64)
+            blk = min(512, max(q.shape[2], k.shape[2]))
+            ctx = flash_attention_relpos(
+                q + u, q + w, k, p_b, v, mask,
+                scale=1.0 / math.sqrt(self.d_k),
+                block_q=blk, block_k=blk,
+                dropout_seed=seed, dropout_rate=float(self.dropout_rate))
             return self._finish(ctx), new_cache
         matrix_ac = jnp.einsum('bhqd,bhkd->bhqk', q + u, k,
                                preferred_element_type=jnp.float32)

@@ -32,6 +32,36 @@ from jax.experimental import pallas as pl
 NEG_INF = -1.0e30
 
 
+def _dropout_mult(seed: jax.Array, bh: jax.Array, qi: jax.Array,
+                  ki: jax.Array, rate: float) -> jax.Array:
+    """Deterministic counter-based dropout multiplier: 0 or 1/(1-rate).
+
+    A murmur3-style fmix32 hash over (seed, batch*head, global q index,
+    global k index) — a pure function of absolute positions, so forward
+    and both backward kernels regenerate the SAME mask regardless of
+    their (different) grid tilings, and the (T1, T2) mask never exists
+    in HBM.  Used for in-kernel attention-weight dropout in the flash
+    kernels (training); the keep decision per position is i.i.d.
+    Bernoulli(1-rate) to hash quality (fmix32 passes avalanche).
+
+    qi: (n, 1) int32 global query rows; ki: (1, m) int32 key cols.
+    seed: uint32 scalar; bh: traced int32 scalar (b * n_head + h).
+    rate: static python float in (0, 1)."""
+    u = (qi.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         ^ ki.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+    u = u + (seed.astype(jnp.uint32)
+             + bh.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F))
+    # fmix32 finalizer (murmur3)
+    u = u ^ (u >> jnp.uint32(16))
+    u = u * jnp.uint32(0x85EBCA6B)
+    u = u ^ (u >> jnp.uint32(13))
+    u = u * jnp.uint32(0xC2B2AE35)
+    u = u ^ (u >> jnp.uint32(16))
+    thr = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return jnp.where(u >= thr, jnp.float32(1.0 / (1.0 - rate)),
+                     jnp.float32(0.0))
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -97,6 +127,19 @@ def _fwd_kernel(*refs, scale: float, block_k: int, kv_len: int,
         # tiles; same trick as the upstream pallas flash kernels)
         lse_ref[0] = jnp.broadcast_to(
             lse[:, None], lse_ref.shape[1:]).astype(jnp.float32)
+
+
+def _seed_spec():
+    """Grid-invariant scalar seed input (SMEM on TPU; plain ref in
+    interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _seed_arr(dropout_seed):
+    if dropout_seed is None:
+        raise ValueError('dropout_rate > 0 requires dropout_seed')
+    return jnp.asarray(dropout_seed, jnp.uint32).reshape(1)
 
 
 def _prep_mask(mask, B, T1, T2, pq, pk):
@@ -503,7 +546,10 @@ def flash_attention(q: jax.Array,
 #  p = projected position embeddings — ref attention.py:307-438)
 # ---------------------------------------------------------------------------
 def _relpos_fwd_kernel(*refs, scale: float, block_k: int, kv_len: int,
-                       has_mask: bool, has_lse: bool = False):
+                       has_mask: bool, has_lse: bool = False,
+                       dropout_rate: float = 0.0):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if dropout_rate > 0.0 else None
     lse_ref = None
     if has_mask and has_lse:
         (q1_ref, q2_ref, k_ref, p_ref, v_ref, mask_ref, o_ref,
@@ -519,6 +565,16 @@ def _relpos_fwd_kernel(*refs, scale: float, block_k: int, kv_len: int,
     q1 = q1_ref[0].astype(jnp.float32)
     q2 = q2_ref[0].astype(jnp.float32)
     block_q, d = q1.shape
+    if dropout_rate > 0.0:
+        # global coordinates for the tiling-independent dropout hash:
+        # grid = (B, h, q tiles); kv position advances with the loop
+        bh = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+        q0 = pl.program_id(2) * block_q
+        qi = q0 + jax.lax.broadcasted_iota(jnp.int32,
+                                           (block_q, block_k), 0)
+        ki_base = jax.lax.broadcasted_iota(jnp.int32,
+                                           (block_q, block_k), 1)
+        seed = seed_ref[0]
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
@@ -538,9 +594,17 @@ def _relpos_fwd_kernel(*refs, scale: float, block_k: int, kv_len: int,
         pgt = jnp.exp(s - m_new[:, None])
         pgt = jnp.where(s <= NEG_INF * 0.5, 0.0, pgt)
         corr = jnp.exp(m_prev - m_new)
+        # l accumulates the FULL softmax normalizer; dropout applies to
+        # the normalized weights (out = (D . p/l) @ v), so only the
+        # v-accumulator sees the mask
         l_new = l_prev * corr + jnp.sum(pgt, axis=-1)
+        pv = pgt
+        if dropout_rate > 0.0:
+            pv = pgt * _dropout_mult(seed, bh, qi,
+                                     i * block_k + ki_base,
+                                     dropout_rate)
         acc = acc * corr[:, None] + jax.lax.dot_general(
-            pgt, v, (((1,), (0,)), ((), ())),
+            pv, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
@@ -559,10 +623,14 @@ def _relpos_fwd_kernel(*refs, scale: float, block_k: int, kv_len: int,
                                           lse_ref.dtype)
 
 
-def _relpos_reference(q1, q2, k, p, v, mask, scale):
+def _relpos_reference(q1, q2, k, p, v, mask, scale,
+                      dropout_rate: float = 0.0, dropout_seed=None):
     """Pure-jnp oracle for the fused rel-pos kernel — TEST-ONLY
     (test_flash_attention grad/forward parity); the production
-    backward is the blockwise _relpos_bwd_* kernels above."""
+    backward is the blockwise _relpos_bwd_* kernels above.  With
+    dropout_rate > 0 it applies the SAME counter-hash mask as the
+    kernels (materialized dense here), so jax.grad through this oracle
+    is the exact-gradient reference for the in-kernel dropout."""
     s = (jnp.einsum('bhqd,bhkd->bhqk', q1, k,
                     preferred_element_type=jnp.float32) +
          jnp.einsum('bhqd,bhkd->bhqk', q2, p,
@@ -573,12 +641,20 @@ def _relpos_reference(q1, q2, k, p, v, mask, scale):
     a = jax.nn.softmax(s, axis=-1)
     if mask is not None:
         a = jnp.where(m, a, 0.0)
+    if dropout_rate > 0.0:
+        B, h, T1, T2 = a.shape
+        seed = jnp.asarray(dropout_seed, jnp.uint32)
+        bh = jnp.arange(B * h, dtype=jnp.int32).reshape(B, h, 1, 1)
+        qi = jnp.arange(T1, dtype=jnp.int32).reshape(1, 1, T1, 1)
+        ki = jnp.arange(T2, dtype=jnp.int32).reshape(1, 1, 1, T2)
+        a = a * _dropout_mult(seed, bh, qi, ki, dropout_rate)
     return jnp.einsum('bhqk,bhkd->bhqd', a.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
 def _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q, block_k,
-                     want_lse: bool = False):
+                     want_lse: bool = False, dropout_rate: float = 0.0,
+                     dropout_seed=None):
     B, h, T1, d = q1.shape
     T2 = k.shape[2]
     block_q = min(block_q, max(T1, 1))
@@ -603,6 +679,9 @@ def _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q, block_k,
     kspec = pl.BlockSpec((1, T2p, d), lambda b, i, j: (b * h + i, 0, 0))
     in_specs = [qspec, qspec, kspec, kspec, kspec]
     args = [q1p, q2p, kp, pp, vp]
+    if dropout_rate > 0.0:
+        in_specs.insert(0, _seed_spec())
+        args.insert(0, _seed_arr(dropout_seed))
     if has_mask:
         in_specs.append(pl.BlockSpec(
             (1, block_q, T2p),
@@ -619,7 +698,8 @@ def _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q, block_k,
     res = pl.pallas_call(
         functools.partial(_relpos_fwd_kernel, scale=scale,
                           block_k=block_k, kv_len=T2p,
-                          has_mask=has_mask, has_lse=want_lse),
+                          has_mask=has_mask, has_lse=want_lse,
+                          dropout_rate=dropout_rate),
         grid=grid, in_specs=in_specs,
         out_specs=out_specs if want_lse else out_specs[0],
         out_shape=out_shape if want_lse else out_shape[0],
@@ -637,7 +717,10 @@ def _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q, block_k,
 # previous backward fell back to the materializing jnp reference)
 # ---------------------------------------------------------------------------
 def _relpos_bwd_dq_kernel(*refs, scale: float, block_k: int,
-                          kv_len: int, has_mask: bool):
+                          kv_len: int, has_mask: bool,
+                          dropout_rate: float = 0.0):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if dropout_rate > 0.0 else None
     idx = 5
     q1_ref, q2_ref, k_ref, p_ref, v_ref = refs[:5]
     mask_ref = None
@@ -651,6 +734,14 @@ def _relpos_bwd_dq_kernel(*refs, scale: float, block_k: int,
     lse = lse_ref[0, :, 0].astype(jnp.float32)
     delta = delta_ref[0, :, 0].astype(jnp.float32)
     block_q, d = q1.shape
+    if dropout_rate > 0.0:
+        bh = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+        q0 = pl.program_id(2) * block_q
+        qi = q0 + jax.lax.broadcasted_iota(jnp.int32,
+                                           (block_q, block_k), 0)
+        ki_base = jax.lax.broadcasted_iota(jnp.int32,
+                                           (block_q, block_k), 1)
+        seed = seed_ref[0]
 
     def body(i, carry):
         dq1, dq2 = carry
@@ -669,6 +760,12 @@ def _relpos_bwd_dq_kernel(*refs, scale: float, block_k: int,
                         jnp.exp(s - lse[:, None]))
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            # y = D . softmax(s); da = D . dp, and delta already equals
+            # rowsum(da . a) because out = (D . a) @ v
+            dp = dp * _dropout_mult(seed, bh, qi,
+                                    i * block_k + ki_base,
+                                    dropout_rate)
         ds = pgt * (dp - delta[:, None]) * scale
         dq1 = dq1 + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
@@ -685,7 +782,10 @@ def _relpos_bwd_dq_kernel(*refs, scale: float, block_k: int,
 
 
 def _relpos_bwd_dkpv_kernel(*refs, scale: float, block_q: int,
-                            q_len: int, has_mask: bool):
+                            q_len: int, has_mask: bool,
+                            dropout_rate: float = 0.0):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if dropout_rate > 0.0 else None
     idx = 5
     q1_ref, q2_ref, k_ref, p_ref, v_ref = refs[:5]
     mask_ref = None
@@ -698,6 +798,16 @@ def _relpos_bwd_dkpv_kernel(*refs, scale: float, block_q: int,
     p = p_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     block_k, d = k.shape
+    if dropout_rate > 0.0:
+        # kv-tiled grid: the k offset is fixed per program, q advances
+        # with the loop — same global (qi, ki) hash as the fwd kernel
+        bh = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+        k0 = pl.program_id(2) * block_k
+        ki = k0 + jax.lax.broadcasted_iota(jnp.int32,
+                                           (block_q, block_k), 1)
+        qi_base = jax.lax.broadcasted_iota(jnp.int32,
+                                           (block_q, block_k), 0)
+        seed = seed_ref[0]
 
     def body(i, carry):
         dk, dp_, dv = carry
@@ -721,11 +831,19 @@ def _relpos_bwd_dkpv_kernel(*refs, scale: float, block_q: int,
             s = jnp.where(m, s, NEG_INF)
         pgt = jnp.where(s <= NEG_INF * 0.5, 0.0,
                         jnp.exp(s - lse[:, None]))
+        if dropout_rate > 0.0:
+            drop = _dropout_mult(seed, bh, i * block_q + qi_base, ki,
+                                 dropout_rate)
+            pv = pgt * drop
+        else:
+            pv = pgt
         dv = dv + jax.lax.dot_general(
-            pgt, do, (((0,), (0,)), ((), ())),
+            pv, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dpv = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dpv = dpv * drop
         ds = pgt * (dpv - delta[:, None]) * scale
         dk = dk + jax.lax.dot_general(
             ds, q1, (((0,), (0,)), ((), ())),
@@ -744,7 +862,8 @@ def _relpos_bwd_dkpv_kernel(*refs, scale: float, block_q: int,
 
 
 def _relpos_bwd_call(q1, q2, k, p, v, mask, out, lse, dout, scale,
-                     block_q, block_k):
+                     block_q, block_k, dropout_rate: float = 0.0,
+                     dropout_seed=None):
     B, h, T1, d = q1.shape
     T2 = k.shape[2]
     block_q = min(block_q, max(T1, 1))
@@ -782,6 +901,9 @@ def _relpos_bwd_call(q1, q2, k, p, v, mask, out, lse, dout, scale,
     # dq1/dq2: grid over q tiles
     in_specs = [qspec, qspec, kv_full, kv_full, kv_full]
     args = [q1p, q2p, kp, pp, vp]
+    if dropout_rate > 0.0:
+        in_specs.insert(0, _seed_spec())
+        args.insert(0, _seed_arr(dropout_seed))
     if has_mask:
         in_specs.append(pl.BlockSpec(
             (1, block_q, T2p),
@@ -793,7 +915,7 @@ def _relpos_bwd_call(q1, q2, k, p, v, mask, out, lse, dout, scale,
     dq1, dq2 = pl.pallas_call(
         functools.partial(_relpos_bwd_dq_kernel, scale=scale,
                           block_k=block_k, kv_len=T2p,
-                          has_mask=has_mask),
+                          has_mask=has_mask, dropout_rate=dropout_rate),
         grid=(B, h, T1p // block_q),
         in_specs=in_specs, out_specs=[qspec, qspec],
         out_shape=[jax.ShapeDtypeStruct((B * h, T1p, d), q1.dtype),
@@ -808,6 +930,9 @@ def _relpos_bwd_call(q1, q2, k, p, v, mask, out, lse, dout, scale,
                             lambda b, i, j: (b * h + i, 0, 0))
     in_specs = [q_full, q_full, kspec, kspec, kspec]
     args = [q1p, q2p, kp, pp, vp]
+    if dropout_rate > 0.0:
+        in_specs.insert(0, _seed_spec())
+        args.insert(0, _seed_arr(dropout_seed))
     if has_mask:
         in_specs.append(pl.BlockSpec(
             (1, T1p, block_k),
@@ -819,7 +944,7 @@ def _relpos_bwd_call(q1, q2, k, p, v, mask, out, lse, dout, scale,
     dk, dp, dv = pl.pallas_call(
         functools.partial(_relpos_bwd_dkpv_kernel, scale=scale,
                           block_q=block_q, q_len=T1p,
-                          has_mask=has_mask),
+                          has_mask=has_mask, dropout_rate=dropout_rate),
         grid=(B, h, T2p // block_k),
         in_specs=in_specs, out_specs=[kspec, kspec, kspec],
         out_shape=[jax.ShapeDtypeStruct((B * h, T2p, d), k.dtype),
@@ -834,9 +959,11 @@ def _relpos_bwd_call(q1, q2, k, p, v, mask, out, lse, dout, scale,
     return dq1, dq2, dk, dp, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 10))
 def flash_attention_relpos(q1, q2, k, p, v, mask=None, scale=1.0,
-                           block_q: int = 128, block_k: int = 128):
+                           block_q: int = 128, block_k: int = 128,
+                           dropout_seed=None,
+                           dropout_rate: float = 0.0):
     """Rel-pos attention (matrix_ac + matrix_bd fused blockwise):
     never materializes the (T1, T2) bias or scores in HBM.
 
@@ -844,26 +971,40 @@ def flash_attention_relpos(q1, q2, k, p, v, mask=None, scale=1.0,
     (1|B, h, T2, d).  Backward is the blockwise recomputation kernels
     (_relpos_bwd_*): neither direction materializes (T1, T2) scores or
     softmax residuals in HBM, so long-T rel-pos TRAINING gets the same
-    memory profile as inference."""
+    memory profile as inference.
+
+    dropout_rate/dropout_seed: in-kernel attention-weight dropout
+    (out = (D . softmax(s)) @ v with D = keep/(1-rate)) — the mask is
+    a counter-based hash of global positions (_dropout_mult),
+    regenerated identically inside backward, so training dropout costs
+    ZERO (T1, T2) HBM traffic (the XLA path's ~17 GB/step of fp32
+    score/mask tensors was the measured train-MFU bound, BENCH_NOTES).
+    Grad consistency vs an autodiffed same-mask oracle is tested in
+    test_flash_attention.py."""
     return _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q,
-                            block_k)
+                            block_k, dropout_rate=dropout_rate,
+                            dropout_seed=dropout_seed)
 
 
-def _relpos_vjp_fwd(q1, q2, k, p, v, mask, scale, block_q, block_k):
+def _relpos_vjp_fwd(q1, q2, k, p, v, mask, scale, block_q, block_k,
+                    dropout_seed, dropout_rate):
     out, lse = _relpos_fwd_call(q1, q2, k, p, v, mask, scale, block_q,
-                                block_k, want_lse=True)
-    return out, (q1, q2, k, p, v, mask, out, lse)
+                                block_k, want_lse=True,
+                                dropout_rate=dropout_rate,
+                                dropout_seed=dropout_seed)
+    return out, (q1, q2, k, p, v, mask, dropout_seed, out, lse)
 
 
-def _relpos_vjp_bwd(scale, block_q, block_k, res, dout):
-    q1, q2, k, p, v, mask, out, lse = res
+def _relpos_vjp_bwd(scale, block_q, block_k, dropout_rate, res, dout):
+    q1, q2, k, p, v, mask, dropout_seed, out, lse = res
     dq1, dq2, dk, dp, dv = _relpos_bwd_call(
-        q1, q2, k, p, v, mask, out, lse, dout, scale, block_q, block_k)
+        q1, q2, k, p, v, mask, out, lse, dout, scale, block_q, block_k,
+        dropout_rate=dropout_rate, dropout_seed=dropout_seed)
     # p may have been broadcast over batch/head; reduce the grad back
     if p.shape[0] == 1 and dp.shape[0] != 1:
         dp = jnp.sum(dp, axis=0, keepdims=True)
     dp = dp.astype(p.dtype)
-    return dq1, dq2, dk, dp, dv, None
+    return dq1, dq2, dk, dp, dv, None, None
 
 
 flash_attention_relpos.defvjp(_relpos_vjp_fwd, _relpos_vjp_bwd)

@@ -14,8 +14,13 @@ async def transcribe_streaming(url: str, wav: np.ndarray,
                                chunk_ms: int = 320, nbest: int = 1,
                                continuous_decoding: bool = False,
                                real_time: bool = False,
-                               on_message=None) -> List[dict]:
-    """Send a waveform chunk by chunk; returns all parsed messages."""
+                               on_message=None,
+                               on_send=None) -> List[dict]:
+    """Send a waveform chunk by chunk; returns all parsed messages.
+
+    on_send(chunk_index) fires immediately after each binary pcm frame
+    is sent (protocol-level latency measurement,
+    tools/websocket/performance-ws.py)."""
     import websockets
     pcm = np.clip(np.asarray(wav) * 32768.0, -32768,
                   32767).astype('<i2') \
@@ -42,8 +47,10 @@ async def transcribe_streaming(url: str, wav: np.ndarray,
                 return
 
         rtask = asyncio.create_task(reader())
-        for i in range(0, len(pcm), chunk):
+        for n, i in enumerate(range(0, len(pcm), chunk)):
             await ws.send(pcm[i:i + chunk].tobytes())
+            if on_send:
+                on_send(n)
             if real_time:
                 await asyncio.sleep(chunk_ms / 1000)
         await ws.send(json.dumps({'signal': 'end'}))
