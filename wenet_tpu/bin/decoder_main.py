@@ -58,8 +58,8 @@ def build_decoder(args):
 
 
 def decode_utt(decoder, wav_path, simulate_streaming, interval_ms):
-    from wenet_tpu.dataset.audio import read_wav
-    pcm, rate = read_wav(wav_path)
+    from wenet_tpu.dataset.audio import read_audio
+    pcm, rate = read_audio(wav_path)
     pcm = pcm[0]  # (C, S) -> first channel
     wave_dur = len(pcm) / rate
     samples_per_chunk = int(rate * interval_ms / 1000)

@@ -81,6 +81,114 @@ def read_wav(path_or_bytes, start_frame: int = 0,
         f.close()
 
 
+_flac_lib = None
+
+
+def _load_flac():
+    """ctypes handle to the from-scratch C++ FLAC decoder
+    (runtime/cpp/flac_decoder.cc); builds on first use like
+    runtime/native_beam.py."""
+    global _flac_lib
+    if _flac_lib is not None:
+        return _flac_lib or None
+    import ctypes
+    import os
+    import subprocess
+    lib_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'runtime', 'cpp')
+    lib_path = os.path.join(lib_dir, 'libflac_dec.so')
+    if not os.path.exists(lib_path):
+        try:
+            subprocess.run(['make', '-C', lib_dir, 'libflac_dec.so'],
+                           check=True, capture_output=True)
+        except Exception:  # noqa: BLE001
+            _flac_lib = False
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        _flac_lib = False
+        return None
+    c = ctypes
+    lib.flac_decode.restype = c.c_int
+    lib.flac_decode.argtypes = [
+        c.c_char_p, c.c_size_t, c.POINTER(c.POINTER(c.c_int32)),
+        c.POINTER(c.c_int64), c.POINTER(c.c_int), c.POINTER(c.c_int),
+        c.POINTER(c.c_int)]
+    lib.flac_info.restype = c.c_int
+    lib.flac_info.argtypes = [
+        c.c_char_p, c.c_size_t, c.POINTER(c.c_int64),
+        c.POINTER(c.c_int), c.POINTER(c.c_int), c.POINTER(c.c_int)]
+    lib.flac_free.argtypes = [c.POINTER(c.c_int32)]
+    _flac_lib = lib
+    return lib
+
+
+def read_flac(path_or_bytes) -> Tuple[np.ndarray, int]:
+    """FLAC -> ((channels, S) float32 in [-1, 1], rate) via the native
+    decoder.  LibriSpeech-family corpora ship flac; the reference reads
+    them through torchaudio/sox (ref processor.py:125-153)."""
+    import ctypes
+    lib = _load_flac()
+    if lib is None:
+        raise RuntimeError('libflac_dec.so unavailable (g++ missing?)')
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        raw = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, 'rb') as f:
+            raw = f.read()
+    samples = ctypes.POINTER(ctypes.c_int32)()
+    frames = ctypes.c_int64()
+    channels = ctypes.c_int()
+    rate = ctypes.c_int()
+    bps = ctypes.c_int()
+    rc = lib.flac_decode(raw, len(raw), ctypes.byref(samples),
+                         ctypes.byref(frames), ctypes.byref(channels),
+                         ctypes.byref(rate), ctypes.byref(bps))
+    if rc != 0:
+        raise ValueError(f'flac decode failed rc={rc}')
+    try:
+        n = frames.value * channels.value
+        pcm = np.ctypeslib.as_array(samples, shape=(n,)).copy()
+    finally:
+        lib.flac_free(samples)
+    wav = pcm.astype(np.float32) / float(1 << (bps.value - 1))
+    return (np.ascontiguousarray(
+        wav.reshape(-1, channels.value).T), rate.value)
+
+
+def flac_info(path) -> Tuple[int, int, int]:
+    """(sample_rate, num_frames, channels) from STREAMINFO only."""
+    import ctypes
+    lib = _load_flac()
+    if lib is None:
+        raise RuntimeError('libflac_dec.so unavailable (g++ missing?)')
+    with open(path, 'rb') as f:
+        head = f.read(64)
+    frames = ctypes.c_int64()
+    channels = ctypes.c_int()
+    rate = ctypes.c_int()
+    bps = ctypes.c_int()
+    rc = lib.flac_info(head, len(head), ctypes.byref(frames),
+                       ctypes.byref(channels), ctypes.byref(rate),
+                       ctypes.byref(bps))
+    if rc != 0:
+        raise ValueError(f'flac info failed rc={rc}')
+    return rate.value, int(frames.value), channels.value
+
+
+def read_audio(path_or_bytes) -> Tuple[np.ndarray, int]:
+    """Magic-sniffing reader: RIFF wav or FLAC."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        head = bytes(path_or_bytes[:4])
+    else:
+        with open(path_or_bytes, 'rb') as f:
+            head = f.read(4)
+    if head == b'fLaC':
+        return read_flac(path_or_bytes)
+    return read_wav(path_or_bytes)
+
+
 def wav_info(path) -> Tuple[int, int, int]:
     """(sample_rate, num_frames, channels) without reading data."""
     with open(path, 'rb') as f:

@@ -30,22 +30,35 @@ class WenetTpuError(Exception):
 
 def decode_wav(sample: dict) -> dict:
     """ref: processor.py:125-153.  Reads sample['wav'] path or
-    sample['wav_bytes'] from a tar shard; honors start/end seconds."""
+    sample['wav_bytes'] from a tar shard; honors start/end seconds.
+
+    Codecs: RIFF wav and FLAC (magic-sniffed; flac rides the native
+    decoder runtime/cpp/flac_decoder.cc — LibriSpeech ships flac)."""
+    from wenet_tpu.dataset.audio import read_audio
     if 'wav_bytes' in sample:
         fmt = sample.get('wav_format', 'wav')
-        if fmt != 'wav':
+        if fmt not in ('wav', 'flac'):
             raise WenetTpuError(f'unsupported codec {fmt} '
-                                '(no flac/mp3 decoder in base image)')
-        wav, rate = read_wav(sample.pop('wav_bytes'))
+                                '(no mp3/opus decoder in base image)')
+        wav, rate = read_audio(sample.pop('wav_bytes'))
     else:
         path = sample['wav']
         if 'start' in sample:
-            rate0, _, _ = wav_info(path)
-            start = int(sample['start'] * rate0)
-            end = int(sample['end'] * rate0)
-            wav, rate = read_wav(path, start, end - start)
+            with open(path, 'rb') as f:
+                is_flac = f.read(4) == b'fLaC'
+            if is_flac:
+                # no cheap frame seek in flac: decode, then slice
+                wav, rate = read_audio(path)
+                s = int(sample['start'] * rate)
+                e = int(sample['end'] * rate)
+                wav = wav[:, s:e]
+            else:
+                rate0, _, _ = wav_info(path)
+                start = int(sample['start'] * rate0)
+                end = int(sample['end'] * rate0)
+                wav, rate = read_wav(path, start, end - start)
         else:
-            wav, rate = read_wav(path)
+            wav, rate = read_audio(path)
     sample['wav'] = wav  # (C, S) float32
     sample['sample_rate'] = rate
     return sample
