@@ -23,11 +23,49 @@ average_num=30
 decode_modes="ctc_greedy_search ctc_prefix_beam_search attention attention_rescoring"
 
 . $WENET_DIR/tools/parse_options.sh
+LOCAL_DIR=$(cd "$(dirname "$0")/local" && pwd)
+data_url=https://www.openslr.org/resources/12
+
+if [ ${stage} -le -1 ] && [ ${stop_stage} -ge -1 ]; then
+  echo "stage -1: download LibriSpeech parts"
+  mkdir -p $data
+  for part in dev-clean test-clean dev-other test-other \
+              train-clean-100 train-clean-360 train-other-500; do
+    $LOCAL_DIR/download_and_untar.sh $data $data_url $part
+  done
+fi
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
-  echo "stage 0: expects kaldi-style data/{set}/wav.scp,text"
+  echo "stage 0: data preparation (flac is decoded natively — no"
+  echo "         conversion pass; runtime/cpp/flac_decoder.cc)"
+  if [ -d $data/LibriSpeech ]; then
+    for part in $(ls $data/LibriSpeech | grep -v '\.'); do
+      [ -d $data/LibriSpeech/$part ] && \
+        $LOCAL_DIR/data_prep.sh $data/LibriSpeech/$part \
+          data/$(echo $part | tr '-' '_')
+    done
+    # train_960 = the three train parts; dev = dev_clean + dev_other
+    if [ -f data/train_clean_100/wav.scp ] && \
+       [ -f data/train_clean_360/wav.scp ] && \
+       [ -f data/train_other_500/wav.scp ]; then
+      mkdir -p data/${train_set}
+      for f in wav.scp text; do
+        cat data/train_clean_100/$f data/train_clean_360/$f \
+          data/train_other_500/$f | sort > data/${train_set}/$f
+      done
+    fi
+    if [ -f data/dev_clean/wav.scp ] && [ -f data/dev_other/wav.scp ]
+    then
+      mkdir -p data/${dev_set}
+      for f in wav.scp text; do
+        cat data/dev_clean/$f data/dev_other/$f | sort \
+          > data/${dev_set}/$f
+      done
+    fi
+  fi
   for x in ${train_set} ${dev_set} ${test_sets}; do
-    [ -f data/$x/wav.scp ] || { echo "missing data/$x/wav.scp"; exit 1; }
+    [ -f data/$x/wav.scp ] || { echo "missing data/$x/wav.scp (run \
+stage -1, or place kaldi-style files)"; exit 1; }
   done
 fi
 
