@@ -114,10 +114,12 @@ def main():
         try:
             wait_port(args.port, proc)
             # warmup: compile the chunk-step programs for every batch
-            # bucket before timing
+            # bucket before timing — concurrency must reach max_batch
+            # or the first timed step at high concurrency pays fresh
+            # compilations for the larger buckets (ADVICE r4)
             warm = argparse.Namespace(
                 url=f'ws://127.0.0.1:{args.port}', wav_path=None,
-                synthetic_sec=2.0, concurrency=2,
+                synthetic_sec=2.0, concurrency=max(2, args.max_batch),
                 chunk_ms=args.chunk_ms, real_time=False)
             asyncio.run(perf.run(warm))
             for n in [int(x) for x in args.steps.split(',')]:

@@ -9,11 +9,16 @@ and aggregate RTF, one JSON line per run.
 
 Partial-result latency = wall time from the moment chunk k's pcm frame
 is written to the socket until a partial/final result referencing it
-comes back.  The server answers data chunks in order (one decode per
-binary frame, websocket/server.py on_speech_data), so the k-th result
-message is paired with the k-th unanswered chunk send; chunks that
-produce no message (empty hypothesis) are drained by the next result,
-making the pairing an upper bound (latency is never under-reported).
+comes back.  Pairing is EXACT against wenet_tpu's server: every
+partial/final message echoes the 0-based `chunk_idx` of the data chunk
+whose decode produced it (websocket/server.py on_speech_data), so
+latency = now - send_time[chunk_idx] even when silent chunks emit no
+message or results lag many sends in the saturated regime.  Against
+servers without the echo (e.g. the reference C++ runtime) the harness
+falls back to in-order pairing advanced ONE send per result — a lower
+bound in overload (a result may answer a later chunk than the one it
+is paired with), so saturated-step fallback percentiles must not be
+quoted as upper bounds.
 
 Usage:
     python tools/websocket/performance-ws.py --url ws://host:port \
@@ -55,12 +60,26 @@ async def one_client(url, wav, chunk_ms, real_time, stats, nbest=1):
         if t not in ('partial_result', 'final_result'):
             return
         now = time.perf_counter()
+        idx = msg.get('chunk_idx')
+        if idx is not None:
+            # exact pairing: the server names the chunk it answered
+            if 0 <= idx < len(send_times):
+                lat = now - send_times[idx]
+                if t == 'partial_result':
+                    st.partial_lat.append(lat)
+                else:
+                    st.final_lat = lat
+            elif t == 'final_result':
+                st.final_lat = now - (send_times[-1] if send_times
+                                      else now)
+            return
+        # fallback (no echo): in-order pairing, ONE send per result —
+        # never jump answered to len(send_times): when results lag
+        # several sends that drain pairs a LATE result with a much
+        # NEWER send and under-reports overload latency
         if answered < len(send_times):
             lat = now - send_times[answered]
-            # one result may acknowledge several silent chunks: drain
-            # every already-sent chunk up to now so the NEXT pairing
-            # does not overstate
-            answered = len(send_times)
+            answered += 1
             if t == 'partial_result':
                 st.partial_lat.append(lat)
             else:

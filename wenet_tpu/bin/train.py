@@ -80,13 +80,28 @@ def parse_mesh(spec):
 def main():
     args = get_args()
     jax.config.update('jax_default_prng_impl', args.prng_impl)
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(levelname)s %(message)s')
     if not args.no_flash_train:
         # no-op off-TPU (_flash_train_eligible checks the backend)
         from wenet_tpu.models.transformer.attention import (
             enable_flash_attention)
         enable_flash_attention(True, train_dropout=True)
-    logging.basicConfig(level=logging.INFO,
-                        format='%(asctime)s %(levelname)s %(message)s')
+        # record which dropout-mask stream produced the checkpoint:
+        # flash-train's in-kernel counter-hash stream differs from
+        # flax nn.Dropout (same rate), and numerics differ TPU vs
+        # other backends because eligibility gates on the backend
+        if jax.default_backend() == 'tpu':
+            logging.info('flash-train ACTIVE: rel-pos attention rides '
+                         'the pallas flash kernels with in-kernel '
+                         'counter-hash dropout (mask stream differs '
+                         'from flax nn.Dropout; --no_flash_train to '
+                         'disable)')
+        else:
+            logging.info('flash-train requested but SKIPPED: backend '
+                         'is %s, not tpu — training uses the XLA '
+                         'attention path with flax nn.Dropout masks',
+                         jax.default_backend())
     configs = load_config(args.config, args.override_config)
     configs['seed'] = args.seed
 

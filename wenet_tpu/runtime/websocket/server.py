@@ -69,12 +69,19 @@ class ConnectionHandler:
         if pcm.size == 0:
             return True
         loop = asyncio.get_running_loop()
+        # 0-based index of the binary data chunk this decode (and any
+        # result it emits) answers — echoed as `chunk_idx` so latency
+        # harnesses can pair results with sends EXACTLY even when
+        # silent chunks produce no message (tools/websocket/
+        # performance-ws.py; extra field is ignored by ref clients)
+        self._chunk_idx = getattr(self, '_chunk_idx', -1) + 1
         self.decoder.accept_waveform(pcm)
         state = await loop.run_in_executor(None, self.decoder.decode)
         if state == DecodeState.END_POINT:
             await loop.run_in_executor(None, self.decoder.rescoring)
             await self.send({
                 'status': 'ok', 'type': 'final_result',
+                'chunk_idx': self._chunk_idx,
                 'nbest': serialize_result(
                     self.decoder.result[:self.nbest], self.timestamp)})
             if self.continuous_decoding:
@@ -85,6 +92,7 @@ class ConnectionHandler:
         elif self.decoder.result:
             await self.send({
                 'status': 'ok', 'type': 'partial_result',
+                'chunk_idx': self._chunk_idx,
                 'nbest': serialize_result(
                     self.decoder.result[:self.nbest], False)})
         return True
@@ -97,6 +105,7 @@ class ConnectionHandler:
         await loop.run_in_executor(None, self.decoder.rescoring)
         await self.send({
             'status': 'ok', 'type': 'final_result',
+            'chunk_idx': getattr(self, '_chunk_idx', -1),
             'nbest': serialize_result(self.decoder.result[:self.nbest],
                                       self.timestamp)})
         await self.send({'status': 'ok', 'type': 'speech_end'})
