@@ -43,6 +43,14 @@ if REPO_ROOT not in sys.path:  # runnable from any cwd
 
 SHARED_MODES = ('ctc_greedy_search', 'ctc_prefix_beam_search',
                 'attention', 'attention_rescoring')
+# per-family product decode paths (VERDICT r4 item #7): paraformer
+# greedy rides both stacks' decode() dispatch (ref
+# wenet/models/paraformer/paraformer.py:387-392); rnnt greedy maps to
+# the ref Transducer.greedy_search entry (transducer.py:398 — the ref
+# decode() dispatch no longer carries the rnnt modes, recognize.py's
+# help list notwithstanding); whisper parity = mode 'attention' on a
+# whisper config with --whisper_task/--whisper_lang prompt infos.
+FAMILY_MODES = ('paraformer_greedy_search', 'rnnt_greedy_search')
 
 
 def _import_reference():
@@ -155,7 +163,7 @@ def build_models(configs, checkpoint=None, seed=1234):
 
 
 def decode_both(tmodel, runner, feats, modes, beam_size, ctc_weight,
-                reverse_weight):
+                reverse_weight, infos=None):
     """One utterance through both stacks; returns
     {mode: (ref_tokens, tpu_tokens)}."""
     import jax.numpy as jnp
@@ -164,15 +172,31 @@ def decode_both(tmodel, runner, feats, modes, beam_size, ctc_weight,
 
     speech = torch.tensor(feats[None, ...])
     lens = torch.tensor([feats.shape[0]], dtype=torch.long)
+    dispatch = [m for m in modes if m != 'rnnt_greedy_search']
+    ref_out = {}
     with torch.no_grad():
-        ref_out = tmodel.decode(list(modes), speech, lens,
-                                beam_size=beam_size,
-                                ctc_weight=ctc_weight,
-                                reverse_weight=reverse_weight)
+        if dispatch:
+            ref_out = tmodel.decode(dispatch, speech, lens,
+                                    beam_size=beam_size,
+                                    ctc_weight=ctc_weight,
+                                    reverse_weight=reverse_weight,
+                                    infos=infos)
+        if 'rnnt_greedy_search' in modes:
+            # ref Transducer exposes greedy via its own entry, not
+            # decode() (transducer.py:398 basic_greedy_search).
+            # n_steps=1 on BOTH sides: the ref budget is per-frame
+            # while the TPU scan's is total (2*T); they are only
+            # equivalent at n_steps=1, and under random CI weights the
+            # ref would otherwise emit 64 junk tokens per frame.  With
+            # a trained checkpoint both bounds are far from binding.
+            hyps = tmodel.greedy_search(speech, lens, n_steps=1)
+            ref_out['rnnt_greedy_search'] = [
+                type('R', (), {'tokens': hyps[0]})()]
     our_out = runner.decode(list(modes), jnp.asarray(feats[None, ...]),
                             jnp.asarray([feats.shape[0]]),
                             beam_size=beam_size, ctc_weight=ctc_weight,
-                            reverse_weight=reverse_weight)
+                            reverse_weight=reverse_weight, infos=infos,
+                            rnnt_n_steps=1)
     pairs = {}
     for mode in modes:
         ref_tokens = [int(t) for t in ref_out[mode][0].tokens]
@@ -200,16 +224,26 @@ def main():
     parser.add_argument('--reverse_weight', type=float, default=0.3)
     parser.add_argument('--seed', type=int, default=1234)
     parser.add_argument('--result_dir', default=None)
+    parser.add_argument('--whisper_task', default=None,
+                        help="whisper prompt task (e.g. 'transcribe') "
+                             'for attention-mode parity on whisper '
+                             'configs')
+    parser.add_argument('--whisper_lang', default=None,
+                        help="whisper prompt language (e.g. 'zh')")
     args = parser.parse_args()
 
     import yaml
     with open(args.config) as f:
         configs = yaml.safe_load(f)
     modes = [m.strip() for m in args.modes.split(',') if m.strip()]
-    unknown = set(modes) - set(SHARED_MODES)
+    unknown = set(modes) - set(SHARED_MODES) - set(FAMILY_MODES)
     if unknown:
         parser.error(f'unsupported shared modes: {sorted(unknown)}; '
-                     f'choose from {SHARED_MODES}')
+                     f'choose from {SHARED_MODES + FAMILY_MODES}')
+    infos = None
+    if args.whisper_task or args.whisper_lang:
+        infos = {'tasks': [args.whisper_task or 'transcribe'],
+                 'langs': [args.whisper_lang or 'zh']}
 
     utts = _read_wav_list(args.wav_list)
     symbols = (_read_symbol_table(args.dict_path)
@@ -226,7 +260,7 @@ def main():
         feats = compute_features(wav_path, configs)
         pairs = decode_both(tmodel, runner, feats, modes,
                             args.beam_size, args.ctc_weight,
-                            args.reverse_weight)
+                            args.reverse_weight, infos=infos)
         for mode, (ref_tokens, our_tokens) in pairs.items():
             s = stats[mode]
             s['utts'] += 1

@@ -252,9 +252,18 @@ class AsrRunner:
                blank_id: int = 0,
                blank_penalty: float = 0.0,
                length_penalty: float = 0.0,
-               infos: Optional[Dict[str, List[str]]] = None
+               infos: Optional[Dict[str, List[str]]] = None,
+               rnnt_n_steps: int = 64
                ) -> Dict[str, List[DecodeResult]]:
-        """ref: asr_model.py:267-343."""
+        """ref: asr_model.py:267-343.
+
+        rnnt_n_steps: per-frame non-blank emission budget for
+        rnnt_greedy_search (ref transducer.py:398 n_steps=64).  NB the
+        scan also has a TOTAL budget of 2*T steps (transducer.py
+        greedy_search max_steps — the static-shape TPU formulation);
+        with trained weights emissions ~U << T and neither bound
+        binds, but under random weights only n_steps=1 makes the two
+        budgets equivalent (tools/parity_decode.py pins it)."""
         feats = jnp.asarray(feats)
         feats_lengths = jnp.asarray(feats_lengths)
         if hasattr(self.model, 'forward_paraformer'):
@@ -278,7 +287,8 @@ class AsrRunner:
         results: Dict[str, List[DecodeResult]] = {}
         if 'rnnt_greedy_search' in methods:
             tokens, n_emit = self._fn('greedy_search')(
-                self.variables, encoder_out, encoder_lens)
+                self.variables, encoder_out, encoder_lens,
+                jnp.asarray(rnnt_n_steps, jnp.int32))
             tokens, n_emit = np.asarray(tokens), np.asarray(n_emit)
             blank = getattr(self.model, 'blank', 0)
             results['rnnt_greedy_search'] = [
