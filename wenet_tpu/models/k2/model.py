@@ -79,8 +79,9 @@ class K2Model(ASRModel):
                                        target.shape[1]).astype(jnp.float32)
         labels = jnp.where(label_paddings > 0, 0, target).astype(jnp.int32)
         # numerator: CTC forward score of the supervision
-        num = -optax.ctc_loss(logits.astype(jnp.float32), logit_paddings,
-                              labels, label_paddings, blank_id=0)
+        from wenet_tpu.ops.ctc_loss import ctc_loss
+        num = -ctc_loss(logits.astype(jnp.float32), logit_paddings,
+                        labels, label_paddings, blank_id=0)
         num = jnp.where(jnp.isfinite(num), num, 0.0)
         # denominator: dense forward over the den graph
         den = jax.vmap(fsa_forward_score, in_axes=(0, 0, None))(
