@@ -186,7 +186,8 @@ def bench_prefix_beam(batch: int = 16):
     print(json.dumps(out))
 
 
-def bench_attention(batch: int = 16, whisper: bool = False):
+def bench_attention(batch: int = 16, whisper: bool = False,
+                    small: bool = False):
     """AR attention-beam decode throughput (the DEFAULT mode for
     whisper/firered — ref wenet/models/whisper/whisper.py:31,
     firered/model.py:33) on the pipelined
@@ -218,8 +219,16 @@ def bench_attention(batch: int = 16, whisper: bool = False):
         from __graft_entry__ import _flagship_config
         B = batch
         SECONDS = 15.0
-        configs = _flagship_config()
+        configs = _flagship_config(small=small)
         beam = 10
+    if small:
+        # smoke-run shape (tests/test_bench_harnesses.py): tiny model,
+        # 1 s audio, 2-deep batch list — covers the whole harness path
+        # (pipelined program build, worst-case AR loop, JSON report)
+        # without flagship compile times
+        B = min(B, 2)
+        SECONDS = 1.0
+        beam = 3
     model, configs = init_model(None, configs)
     variables, _ = init_variables(model, configs)
     runner = AsrRunner(model, variables, dtype=jnp.bfloat16)
@@ -231,7 +240,7 @@ def bench_attention(batch: int = 16, whisper: bool = False):
     lens = jnp.full((B,), T, jnp.int32)
     infos = ({'tasks': ['transcribe'] * B, 'langs': ['zh'] * B}
              if whisper else None)
-    iters = 3 if whisper else 6
+    iters = 2 if small else (3 if whisper else 6)
     batches = [((feats + 1e-3 * i, lens, infos) if infos
                 else (feats + 1e-3 * i, lens)) for i in range(iters)]
 
@@ -446,6 +455,7 @@ if __name__ == '__main__':
     elif '--mode' in sys.argv and 'paraformer' in sys.argv:
         bench_paraformer(batch)
     elif '--mode' in sys.argv and 'attention' in sys.argv:
-        bench_attention(batch, whisper='--whisper' in sys.argv)
+        bench_attention(batch, whisper='--whisper' in sys.argv,
+                        small='--small' in sys.argv)
     else:
         main(batch)
