@@ -97,6 +97,30 @@ def test_sharded_attention_beam_identical(runners):
     assert [x.tokens for x in a] == [x.tokens for x in b]
 
 
+def test_sharded_ragged_batch_padded_and_trimmed(runners):
+    """A final batch whose B is NOT a multiple of the data-axis size
+    (here 3 over 8 devices) must decode identically: `_put_batch` pads
+    by repeating the last row, `_pipeline` trims the pad rows
+    (ADVICE r4: ragged final dataset batch must not kill the job)."""
+    single, sharded = runners
+    full = _batches(n=1)[0]
+    ragged = (full[0][:3], full[1][:3])
+    batches = [full, ragged]
+    a = [br for br in single.decode_ctc_greedy_batches(batches)]
+    b = [br for br in sharded.decode_ctc_greedy_batches(batches)]
+    assert [len(br) for br in b] == [8, 3]
+    assert [[x.tokens for x in br] for br in a] \
+        == [[x.tokens for x in br] for br in b]
+    # attention path with per-row infos survives padding too
+    infos = {'tasks': ['transcribe'] * 3, 'langs': ['zh'] * 3}
+    c = list(sharded.decode_attention_batches(
+        [(ragged[0], ragged[1], infos)], beam_size=2))
+    d = list(single.decode_attention_batches(
+        [(ragged[0], ragged[1], infos)], beam_size=2))
+    assert [x.tokens for x in c[0]] == [x.tokens for x in d[0]]
+    assert len(c[0]) == 3
+
+
 def test_sharded_rescoring_identical(runners):
     single, sharded = runners
     batches = _batches()

@@ -33,8 +33,9 @@ class AsrRunner:
         dim over `data_axis`, and the fused decode programs compile
         once for the whole slice (GSPMD propagates the shardings; no
         collectives are needed for inference).  One program then
-        serves a pod slice instead of one chip.  Batch sizes must be
-        divisible by the axis size.  No reference analog — the ref C++
+        serves a pod slice instead of one chip.  Ragged batches are
+        padded to the axis multiple (repeat-last-row) and trimmed
+        after finalize.  No reference analog — the ref C++
         runtime decodes per-connection on CPU
         (runtime/core/decoder/asr_decoder.cc); this is TPU-native
         scale-out.  Hypothesis-identity vs single-device is tested in
@@ -58,11 +59,13 @@ class AsrRunner:
         # TPU links)
         self._mesh = mesh
         self._batch_sharding = None
+        self._data_axis_size = 1
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.variables = jax.device_put(
                 variables, NamedSharding(mesh, P()))
             self._batch_sharding = NamedSharding(mesh, P(data_axis))
+            self._data_axis_size = int(mesh.shape[data_axis])
         else:
             self.variables = jax.device_put(variables)
         self._jitted: Dict[str, object] = {}
@@ -81,9 +84,23 @@ class AsrRunner:
     def _put_batch(self, feats, feats_lengths):
         """Upload one (feats, lengths) batch; under a mesh, commit the
         leading dim to the data axis so the jitted programs compile
-        data-parallel across the slice."""
+        data-parallel across the slice.
+
+        Ragged batches (B not a multiple of the data-axis size — e.g.
+        a dataset's final batch) are padded by repeating the last row
+        so every device gets equal rows; `_pipeline` trims the pad
+        rows from each finalized result list."""
         if self._batch_sharding is None:
             return jnp.asarray(feats), jnp.asarray(feats_lengths)
+        pad = (-int(np.shape(feats)[0])) % self._data_axis_size
+        if pad:
+            feats = np.asarray(feats)
+            feats_lengths = np.asarray(feats_lengths)
+            feats = np.concatenate(
+                [feats, np.repeat(feats[-1:], pad, axis=0)], axis=0)
+            feats_lengths = np.concatenate(
+                [feats_lengths,
+                 np.repeat(feats_lengths[-1:], pad, axis=0)], axis=0)
         return (jax.device_put(feats, self._batch_sharding),
                 jax.device_put(feats_lengths, self._batch_sharding))
 
@@ -535,22 +552,31 @@ class AsrRunner:
         serialize and bound the whole pipeline: measured 8.3k vs 28.4k
         audio-sec/s on the greedy path — order is preserved by the
         futures queue), and `finalize(fetched, ctx)` runs on the host
-        while younger batches execute."""
+        while younger batches execute.
+
+        Under a mesh, `_put_batch` may pad a ragged batch to the
+        data-axis multiple; each finalized row-aligned result list is
+        trimmed back to the item's true row count here."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         ex = ThreadPoolExecutor(max_workers=fetch_workers)
         q = deque()
+
+        def _trim(res, n):
+            return res[:n] if isinstance(res, list) else res
+
         try:
             for item in batches:
+                n_real = int(np.shape(item[1])[0])
                 dev, ctx = dispatch(item)
-                q.append((ex.submit(jax.device_get, dev), ctx))
+                q.append((ex.submit(jax.device_get, dev), ctx, n_real))
                 while len(q) > depth:
-                    fut, c = q.popleft()
-                    yield finalize(fut.result(), c)
+                    fut, c, n = q.popleft()
+                    yield _trim(finalize(fut.result(), c), n)
             while q:
-                fut, c = q.popleft()
-                yield finalize(fut.result(), c)
+                fut, c, n = q.popleft()
+                yield _trim(finalize(fut.result(), c), n)
         finally:
             ex.shutdown(wait=False)
 
@@ -664,8 +690,15 @@ class AsrRunner:
         def dispatch(item):
             feats, feats_lengths = item[0], item[1]
             infos = item[2] if len(item) > 2 else None
+            n_real = int(np.shape(feats)[0])
             feats, feats_lengths = self._put_batch(feats,
                                                    feats_lengths)
+            if infos is not None and feats.shape[0] > n_real:
+                # ragged batch was padded to the data-axis multiple:
+                # repeat the last prompt row to match (_pipeline trims
+                # the pad rows from the finalized results)
+                infos = {k: list(v) + [v[-1]] * (feats.shape[0] - n_real)
+                         for k, v in infos.items()}
             eo, em = self.forward_encoder(feats, feats_lengths)
             dev, plen = attention_beam_dispatch(
                 self.model, self._variables_fp(), eo, em,

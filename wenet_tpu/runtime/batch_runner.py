@@ -44,9 +44,28 @@ class _Request:
 class BatchedChunkRunner:
 
     def __init__(self, model, variables, cfg: StreamingConfig,
-                 max_batch: int = 8, flush_ms: float = 5.0):
+                 max_batch: int = 8, flush_ms: float = 5.0,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — the
+        batched chunk step then runs data-parallel across the mesh
+        (params replicated, session rows sharded on the batch axis;
+        the serving analog of AsrRunner's sharded offline decode).
+        Coalesced batches are padded to a multiple of the axis size by
+        repeating the final row — identical math for real rows, pad
+        rows discarded (hypothesis identity vs single-device is pinned
+        in tests/test_sharded_streaming.py)."""
         self.model = model
-        self.variables = jax.device_put(variables)
+        self.mesh = mesh
+        if mesh is not None:
+            import jax.sharding as jsh
+            self._repl = jsh.NamedSharding(mesh, jsh.PartitionSpec())
+            self._row0 = jsh.NamedSharding(mesh,
+                                           jsh.PartitionSpec('data'))
+            self._row1 = jsh.NamedSharding(
+                mesh, jsh.PartitionSpec(None, 'data'))
+            self.variables = jax.device_put(variables, self._repl)
+        else:
+            self.variables = jax.device_put(variables)
         self.cfg = cfg
         self.max_batch = max_batch
         self.flush_ms = flush_ms
@@ -121,6 +140,14 @@ class BatchedChunkRunner:
                         r.future.set_exception(e)
 
     def _run(self, batch: List[_Request]):
+        n_real = len(batch)
+        if self.mesh is not None:
+            # pad to a multiple of the data-axis size by repeating the
+            # last row: every device gets equal rows, pad outputs are
+            # dropped below (only the first n_real rows are scattered)
+            axis = self.mesh.shape['data']
+            while len(batch) % axis:
+                batch = batch + [batch[-1]]
         B = len(batch)
         xs = jnp.asarray(np.stack([r.chunk for r in batch]))
         offsets = jnp.asarray([r.offset for r in batch], jnp.int32)
@@ -139,12 +166,22 @@ class BatchedChunkRunner:
                 1, self.cfg.required_cache_size, self.chunk_out,
                 r.valid_cache, valid_chunk=r.real_out))
             for r in batch], axis=0)
+        masks = jnp.asarray(masks)
+        if self.mesh is not None:
+            xs = jax.device_put(xs, self._row0)
+            offsets = jax.device_put(offsets, self._row0)
+            masks = jax.device_put(masks, self._row0)
+            shard_cache = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, self._row1 if x.ndim >= 2 else self._row0),
+                (att_cache, cnn_cache))
+            att_cache, cnn_cache = shard_cache
         ys, logp, att, cnn = self._step_fn(B)(
             self.variables, xs, offsets, att_cache, cnn_cache,
-            jnp.asarray(masks))
+            masks)
         ys_np = np.asarray(ys)
         logp_np = np.asarray(logp)
-        for i, r in enumerate(batch):
+        for i, r in enumerate(batch[:n_real]):
             new_att = jax.tree_util.tree_map(
                 lambda x: x[:, i:i + 1] if x.ndim >= 2 else x[i:i + 1],
                 att) if B > 1 else att
