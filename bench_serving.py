@@ -102,6 +102,12 @@ def main():
     sys.path.insert(0, os.path.join(REPO, 'tools', 'websocket'))
     perf = __import__('performance-ws')
 
+    # share one persistent compile cache with the server subprocess:
+    # the flagship init program compiles once per machine, not once
+    # per process (the server calls enable_compile_cache itself)
+    from wenet_tpu.utils.common import enable_compile_cache
+    enable_compile_cache()
+
     with tempfile.TemporaryDirectory() as tmp:
         model_dir = build_model_dir(tmp, small=args.small)
         proc = subprocess.Popen(
@@ -112,7 +118,10 @@ def main():
             cwd=REPO)
         rows = []
         try:
-            wait_port(args.port, proc)
+            # flagship server cold-start = jitted init compile + ckpt
+            # restore (~3-5 min uncached through the tunnel; seconds
+            # once the persistent compile cache is warm)
+            wait_port(args.port, proc, timeout_s=1800.0)
             # warmup: compile the chunk-step programs for every batch
             # bucket before timing — concurrency must reach max_batch
             # or the first timed step at high concurrency pays fresh

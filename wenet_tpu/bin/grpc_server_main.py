@@ -21,6 +21,8 @@ def main():
     from wenet_tpu.cli.model import _find_checkpoint
     from wenet_tpu.runtime.asr_decoder import AsrDecoder, DecodeOptions
     from wenet_tpu.runtime.grpc.server import make_server
+    from wenet_tpu.utils.common import enable_compile_cache
+    enable_compile_cache()
     from wenet_tpu.utils.config import load_config
     from wenet_tpu.utils.init_model import init_model, init_variables
     from wenet_tpu.utils.init_tokenizer import init_tokenizer

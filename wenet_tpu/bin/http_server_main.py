@@ -74,6 +74,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    from wenet_tpu.utils.common import enable_compile_cache
+    enable_compile_cache()
     from wenet_tpu.bin.decoder_main import build_decoder
     import types
     dargs = types.SimpleNamespace(

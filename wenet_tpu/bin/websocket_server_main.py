@@ -32,6 +32,8 @@ def main():
     logging.basicConfig(level=logging.INFO)
     args = get_args()
     import os
+    from wenet_tpu.utils.common import enable_compile_cache
+    enable_compile_cache()
     from wenet_tpu.cli.model import _find_checkpoint
     from wenet_tpu.runtime.asr_decoder import AsrDecoder, DecodeOptions
     from wenet_tpu.runtime.endpoint import CtcEndpointConfig
@@ -41,6 +43,8 @@ def main():
     from wenet_tpu.utils.init_model import init_model, init_variables
     from wenet_tpu.utils.init_tokenizer import init_tokenizer
 
+    import time
+    t0 = time.monotonic()
     configs = load_config(os.path.join(args.model_dir, 'train.yaml'))
     tokenizer = init_tokenizer(configs)
     dataset_conf = configs.get('dataset_conf', {})
@@ -48,8 +52,10 @@ def main():
     configs.setdefault('input_dim', num_mel)
     configs.setdefault('output_dim', tokenizer.vocab_size())
     model, configs = init_model(None, configs)
+    logging.info('server: model built (%.1fs)', time.monotonic() - t0)
     variables, _ = init_variables(
         model, configs, checkpoint=_find_checkpoint(args.model_dir))
+    logging.info('server: variables ready (%.1fs)', time.monotonic() - t0)
 
     context_graph = None
     if args.context_path:
@@ -83,6 +89,8 @@ def main():
             right_context=model.encoder.right_context)
         batch_runner = BatchedChunkRunner(model, variables, cfg,
                                           max_batch=args.max_batch)
+        logging.info('server: batch runner up (%.1fs)',
+                     time.monotonic() - t0)
 
     def decoder_factory():
         return AsrDecoder(model, variables, tokenizer, opts, feat_cfg,

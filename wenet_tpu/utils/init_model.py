@@ -251,9 +251,30 @@ def init_variables(model, configs, rng: Optional[jax.Array] = None,
     feats_lengths = jnp.asarray([16])
     target = jnp.zeros((1, 4), jnp.int32)
     target_lengths = jnp.asarray([4])
-    variables = model.init(rng, feats, feats_lengths, target,
-                           target_lengths)
-    variables = jax.device_get(variables)
+    # jit the init AND pin it to the host CPU backend: eager flax init
+    # dispatches the whole forward op by op (one link RTT each on a
+    # remote-TPU setup — measured 148 s for the flagship model), and
+    # even jitted, fetching ~185 MB of freshly-initialized params back
+    # through the tunnel costs minutes.  Init values are either
+    # overwritten by a checkpoint or re-uploaded to the device by the
+    # executor/runner with their proper shardings, so computing them
+    # on-host is free of both the device compile and the transfer.
+    orbax_ckpt = checkpoint is not None and not checkpoint.endswith(
+        ('.pt', '.pth', '.bin', '.zip'))
+    if orbax_ckpt:
+        # an orbax checkpoint restores EVERY leaf, so the init values
+        # are never read — build the tree abstractly (no compile, no
+        # execution, no transfer: a flagship server cold-starts in
+        # seconds instead of minutes)
+        variables = jax.eval_shape(model.init, rng, feats,
+                                   feats_lengths, target,
+                                   target_lengths)
+    else:
+        cpu0 = jax.devices('cpu')[0]
+        with jax.default_device(cpu0):
+            variables = jax.jit(model.init)(rng, feats, feats_lengths,
+                                            target, target_lengths)
+        variables = jax.device_get(variables)
 
     if configs.get('cmvn', None) == 'global_cmvn' and \
             configs.get('cmvn_conf', {}).get('cmvn_file'):
