@@ -86,13 +86,21 @@ def wait_port(port: int, proc, timeout_s: float = 600.0):
 
 
 def main():
+    # a SIGTERM to this process must still tear the server subprocess
+    # down (the finally below) — otherwise an aborted run leaks a
+    # server that owns the port and the TPU
+    import signal
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', default='8,32,64',
                     help='comma-separated client concurrencies to ramp')
     ap.add_argument('--audio_sec', type=float, default=8.0)
     ap.add_argument('--chunk_ms', type=int, default=640,
                     help='640 ms == chunk_size 16 x 4 x 10 ms frames')
-    ap.add_argument('--port', type=int, default=10196)
+    ap.add_argument('--port', type=int, default=0,
+                    help='0 = pick a free ephemeral port (a stale '
+                         'server from an aborted run would otherwise '
+                         'keep the port and get measured instead)')
     ap.add_argument('--max_batch', type=int, default=16)
     ap.add_argument('--small', action='store_true',
                     help='64d/2L model for smoke runs (compile time)')
@@ -107,6 +115,11 @@ def main():
     # per process (the server calls enable_compile_cache itself)
     from wenet_tpu.utils.common import enable_compile_cache
     enable_compile_cache()
+
+    if args.port == 0:
+        with socket.socket() as s:
+            s.bind(('127.0.0.1', 0))
+            args.port = s.getsockname()[1]
 
     with tempfile.TemporaryDirectory() as tmp:
         model_dir = build_model_dir(tmp, small=args.small)

@@ -374,6 +374,57 @@ def test_batched_chunk_runner_matches_serial(streaming_model):
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+def test_batch_runner_buckets_and_precompile(streaming_model):
+    """Coalesced batches pad up to power-of-two buckets (a 3-session
+    flush runs the B=4 program; pad-row outputs are discarded), and
+    precompile() builds exactly the bucket set before any traffic —
+    so a server compiles at most log2(max_batch)+1 chunk programs."""
+    import concurrent.futures as cf
+    from wenet_tpu.models.transformer.streaming import StreamingConfig
+    from wenet_tpu.runtime.batch_runner import BatchedChunkRunner
+
+    model, variables, tokenizer = streaming_model
+    cfg = StreamingConfig(decoding_chunk_size=4,
+                          num_decoding_left_chunks=2,
+                          subsampling_rate=model.encoder.subsampling_rate,
+                          right_context=model.encoder.right_context)
+    chunk_out = (cfg.decoding_window - cfg.right_context - 1) \
+        // cfg.subsampling_rate + 1
+
+    runner = BatchedChunkRunner(model, variables, cfg, max_batch=8,
+                                flush_ms=100.0)
+    try:
+        assert runner.precompile(idim=80) == [1, 2, 4, 8]
+        assert set(runner._jitted) == {1, 2, 4, 8}
+
+        rng = np.random.RandomState(1)
+        feats = [rng.randn(cfg.decoding_window, 80).astype(np.float32)
+                 for _ in range(3)]
+
+        def session(f):
+            fut = runner.submit(f, runner.zero_cache(), 0, 0,
+                                chunk_out)
+            _, logp, _ = fut.result(timeout=120)
+            return logp
+
+        with cf.ThreadPoolExecutor(3) as ex:
+            outs = list(ex.map(session, feats))
+        # no new program sizes appeared: 3 requests rode a bucket
+        assert set(runner._jitted) == {1, 2, 4, 8}
+    finally:
+        runner.close()
+
+    # golden: each session alone (B=1 exact, no padding)
+    solo = BatchedChunkRunner(model, variables, cfg, max_batch=1)
+    try:
+        for f, got in zip(feats, outs):
+            fut = solo.submit(f, solo.zero_cache(), 0, 0, chunk_out)
+            _, want, _ = fut.result(timeout=120)
+            np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    finally:
+        solo.close()
+
+
 def test_asr_decoder_with_batch_runner(streaming_model):
     """AsrDecoder wired to the shared batcher matches the plain path."""
     from wenet_tpu.models.transformer.streaming import StreamingConfig

@@ -25,6 +25,10 @@ def get_args():
                         help='coalesce concurrent sessions into one '
                              'batched chunk step (TPU MXU utilization)')
     parser.add_argument('--max_batch', type=int, default=8)
+    parser.add_argument('--no_precompile', action='store_true',
+                        help='skip compiling every batch bucket at '
+                             'startup (batch serving only); live '
+                             'sessions then pay first-arrival compiles')
     return parser.parse_args()
 
 
@@ -91,6 +95,11 @@ def main():
                                           max_batch=args.max_batch)
         logging.info('server: batch runner up (%.1fs)',
                      time.monotonic() - t0)
+        if not args.no_precompile:
+            buckets = batch_runner.precompile(idim=num_mel)
+            logging.info(
+                'server: chunk-step programs compiled for batch '
+                'buckets %s (%.1fs)', buckets, time.monotonic() - t0)
 
     def decoder_factory():
         return AsrDecoder(model, variables, tokenizer, opts, feat_cfg,

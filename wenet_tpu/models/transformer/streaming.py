@@ -13,6 +13,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass
@@ -60,18 +61,23 @@ def init_streaming_state(encoder, batch_size: int, cfg: StreamingConfig,
 
 def streaming_att_mask(batch_size: int, cache_size: int, chunk_out: int,
                        valid_cache: int,
-                       valid_chunk: Optional[int] = None) -> jax.Array:
+                       valid_chunk: Optional[int] = None) -> np.ndarray:
     """(B, 1, cache+chunk) mask: invalid (not yet filled) cache slots off.
 
     The cache window is right-aligned, so the first
-    (cache_size - valid_cache) slots are padding.  `valid_chunk` (< 
+    (cache_size - valid_cache) slots are padding.  `valid_chunk` (<
     chunk_out for a zero-padded tail chunk) masks pad positions within
-    the current chunk."""
-    idx = jnp.arange(cache_size + chunk_out)
-    valid = idx >= (cache_size - jnp.minimum(valid_cache, cache_size))
+    the current chunk.
+
+    Host-side NUMPY on purpose: every caller feeds the mask straight
+    into a jitted chunk step, and building it with eager jnp cost a
+    device dispatch + fetch PER ROW PER CHUNK (measured 38 ms each
+    through a remote-TPU link — it serialized batched serving)."""
+    idx = np.arange(cache_size + chunk_out)
+    valid = idx >= (cache_size - min(valid_cache, cache_size))
     if valid_chunk is not None:
         valid = valid & (idx < cache_size + valid_chunk)
-    return jnp.broadcast_to(valid, (batch_size, 1, cache_size + chunk_out))
+    return np.broadcast_to(valid, (batch_size, 1, cache_size + chunk_out))
 
 
 def forward_chunk_by_chunk(model, variables, xs: jax.Array,

@@ -27,7 +27,15 @@ async def transcribe_streaming(url: str, wav: np.ndarray,
         if np.asarray(wav).dtype != np.int16 else np.asarray(wav)
     chunk = sample_rate * chunk_ms // 1000
     messages: List[dict] = []
-    async with websockets.connect(url, max_size=None) as ws:
+    # generous handshake/keepalive windows: the websockets defaults
+    # (open_timeout=10, ping_timeout=20) tear the stream down when the
+    # server host is briefly saturated (first-ever jit compile, or N
+    # clients time-slicing one core under load benches) even though
+    # the session would complete fine
+    async with websockets.connect(url, max_size=None,
+                                  open_timeout=120,
+                                  ping_interval=20,
+                                  ping_timeout=300) as ws:
         await ws.send(json.dumps({
             'signal': 'start', 'nbest': nbest,
             'continuous_decoding': continuous_decoding}))

@@ -162,8 +162,14 @@ class WebSocketServer:
 
     async def serve(self):
         import websockets
+        # ping_timeout: a first-ever jit compile (or a saturated
+        # single-core host) can starve the event loop well past the
+        # 20 s websockets default, which would tear every live
+        # connection down with 1011 "keepalive ping timeout"; keep
+        # pings flowing but give peers a generous window to answer
         async with websockets.serve(self._handle, self.host, self.port,
-                                    max_size=None):
+                                    max_size=None,
+                                    ping_interval=20, ping_timeout=300):
             logger.info('listening on %s:%d', self.host, self.port)
             await asyncio.Future()
 
