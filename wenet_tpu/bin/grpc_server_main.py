@@ -35,6 +35,10 @@ def main():
     model, configs = init_model(None, configs)
     variables, _ = init_variables(
         model, configs, checkpoint=_find_checkpoint(args.model_dir))
+    # one upload: per-connection AsrDecoder device_puts are then no-ops
+    # (host-array variables would re-upload ~185 MB per client)
+    import jax
+    variables = jax.block_until_ready(jax.device_put(variables))
     opts = DecodeOptions(chunk_size=args.chunk_size,
                          num_left_chunks=args.num_left_chunks,
                          ctc_weight=args.ctc_weight,

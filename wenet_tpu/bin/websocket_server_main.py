@@ -59,7 +59,14 @@ def main():
     logging.info('server: model built (%.1fs)', time.monotonic() - t0)
     variables, _ = init_variables(
         model, configs, checkpoint=_find_checkpoint(args.model_dir))
-    logging.info('server: variables ready (%.1fs)', time.monotonic() - t0)
+    # upload ONCE: checkpoint restore hands back host arrays, and
+    # every per-connection AsrDecoder does jax.device_put(variables) —
+    # a no-op on device arrays, but a full ~185 MB re-upload per
+    # CLIENT on host arrays (~5 s each through a remote-TPU link)
+    import jax
+    variables = jax.block_until_ready(jax.device_put(variables))
+    logging.info('server: variables ready on device (%.1fs)',
+                 time.monotonic() - t0)
 
     context_graph = None
     if args.context_path:

@@ -31,6 +31,12 @@ class WenetRecognizer:
         self.model, configs = init_model(None, configs)
         self.variables, _ = init_variables(
             self.model, configs, checkpoint=_find_checkpoint(model_dir))
+        # one upload: checkpoint restore returns host arrays; every
+        # AsrDecoder built from this object device_puts the variables,
+        # which must be a no-op (not a per-decoder ~185 MB re-upload)
+        import jax
+        self.variables = jax.block_until_ready(
+            jax.device_put(self.variables))
         self.configs = configs
         self.nbest = 1
         self.enable_timestamp = False
