@@ -1,20 +1,25 @@
-"""CTC loss with an UNROLLED alpha recursion.
+"""CTC loss: optax's recursion with a tunable scan unroll factor.
 
 Numerically identical to optax.ctc_loss (same recursion, same op
 order, same log_epsilon clamping — tests/test_ctc_loss.py pins loss
-and gradient equality) but ~launch-overhead-free: optax scans T steps
-one at a time, and at flagship shapes (T'≈374, per-step work a few
-(B, N) logaddexps) the device executes ~374 serial micro-kernels —
-the profiler attributed 4.8 ms/step (9%) of the training step to this
-serial tail (BENCH_NOTES trace table).  `unroll=K` makes XLA fuse K
-recursion steps into each launched kernel: the math stays sequential
-(the recursion is inherently serial over T — there is no wavefront
-over a second axis like ops/rnnt_loss.py exploits for the T×U RNNT
-grid) but the launch count drops K-fold.
+and gradient equality).  Two reformulations were tried against the
+trace's "4.8 ms/step serial CTC tail" and MEASURED on the chip at
+flagship shapes (B=32, T=300, V=4233, N=40; fwd+grad, jit, warm):
 
-The (B,T,V)x(B,N,V) one-hot einsum optax uses to gather per-label
-log-probs is replaced by take_along_axis — identical values (the
-einsum only ever adds exact zeros), no V-sized contraction.
+  optax.ctc_loss                      5.75 ms
+  take_along_axis emission, unroll=8  11.37 ms   <- 2x WORSE
+  one-hot einsum emission, unroll=1   5.80 ms    (== optax)
+  one-hot einsum emission, unroll=32  5.95 ms    (unroll never pays)
+
+Lessons recorded: (a) replacing the (B,T,V)x(B,N,V) one-hot einsum
+with a gather is a large LOSS on TPU — the gather's backward is a
+scatter-add, HBM-bound, where the einsum's backward is another MXU
+GEMM; (b) the scan over T is not launch-bound under XLA on TPU, so
+unrolling only bloats the loop body.  The recursion itself is
+inherently serial over T (no second axis to wavefront over, unlike
+ops/rnnt_loss.py's T x U grid), so ~5.8 ms is the formulation's
+floor here and the default below is the measured optimum
+(einsum emission, unroll=1 — i.e. optax's own shape).
 
 ref analog: none (torch ships a cuDNN kernel); semantics per
 Graves et al. 2006, matching torch.nn.CTCLoss as optax does.
@@ -27,7 +32,7 @@ import jax.numpy as jnp
 def ctc_loss(logits: jax.Array, logit_paddings: jax.Array,
              labels: jax.Array, label_paddings: jax.Array,
              blank_id: int = 0, log_epsilon: float = -1e5,
-             unroll: int = 8) -> jax.Array:
+             unroll: int = 1) -> jax.Array:
     """Per-sequence CTC loss, (B,).  Same contract as optax.ctc_loss:
     logits (B, T, V); paddings 1.0 at padded positions; labels (B, N)
     right-padded."""
@@ -45,10 +50,12 @@ def ctc_loss(logits: jax.Array, logit_paddings: jax.Array,
     logprobs_phi = logprobs[:, :, blank_id:blank_id + 1]  # (B, T, 1)
     logprobs_phi = jnp.transpose(logprobs_phi, (1, 0, 2))  # (T, B, 1)
 
-    # per-label emission log-probs via gather (optax: one-hot einsum;
-    # identical values — the einsum's extra terms are exact zeros)
-    logprobs_emit = jnp.take_along_axis(
-        logprobs, labels[:, None, :].astype(jnp.int32), axis=2)
+    # per-label emission log-probs via the one-hot einsum — an MXU GEMM
+    # forward AND backward.  A take_along_axis gather reads less but
+    # its backward is an HBM-bound scatter-add: measured 2x slower
+    # end-to-end (see module docstring)
+    one_hot_lab = jax.nn.one_hot(labels, num_classes=logits.shape[2])
+    logprobs_emit = jnp.einsum('btv,bnv->btn', logprobs, one_hot_lab)
     logprobs_emit = jnp.transpose(logprobs_emit, (1, 0, 2))  # (T, B, N)
 
     logalpha_phi_init = jnp.full((batchsize, maxlabellen + 1),
