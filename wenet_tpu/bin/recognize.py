@@ -35,6 +35,13 @@ def get_args():
     parser.add_argument('--num_decoding_left_chunks', type=int,
                         default=-1)
     parser.add_argument('--simulate_streaming', action='store_true')
+    parser.add_argument('--timestamps', action='store_true',
+                        help='whisper-family attention decode with '
+                        'timestamp tokens (the prompt ends with '
+                        '<|0.00|> and the beam applies the timestamp '
+                        'grammar); segments are written to a sibling '
+                        '"segments" file. The reference leaves this '
+                        'NotImplemented (common.py:217).')
     parser.add_argument('--override_config', action='append', default=[])
     parser.add_argument('--context_list_path', default=None)
     parser.add_argument('--context_graph_score', type=float, default=6.0)
@@ -131,11 +138,22 @@ def main():
                                      context_graph_score)
 
     files = {}
+    seg_files = {}
+    ts_begin = None
+    if args.timestamps:
+        st = dict(getattr(model, 'special_tokens', None) or {})
+        if 'timestamp_begin' not in st:
+            raise SystemExit('--timestamps needs a whisper-family '
+                             'model (special_tokens.timestamp_begin)')
+        ts_begin = int(st['timestamp_begin'])
     for mode in args.modes:
         d = os.path.join(args.result_dir, mode)
         os.makedirs(d, exist_ok=True)
         files[mode] = open(os.path.join(d, 'text'), 'w',
                            encoding='utf8')
+        if ts_begin is not None:
+            seg_files[mode] = open(os.path.join(d, 'segments'), 'w',
+                                   encoding='utf8')
 
     hlg_modes = [m for m in args.modes
                  if m in ('hlg_onebest', 'hlg_rescore')]
@@ -147,6 +165,17 @@ def main():
                 hyps[i] = _lm_rescore(hyps[i], lm, args.lm_weight,
                                       id2sym)
             tokens = [int(t) for t in hyps[i].tokens]
+            if ts_begin is not None:
+                from wenet_tpu.models.whisper.tokens import (
+                    whisper_tokens_to_segments)
+                tokens, segments = whisper_tokens_to_segments(
+                    tokens, ts_begin)
+                for start, end, seg in segments:
+                    seg_files[mode].write(
+                        '{} {:.2f} {} {}\n'.format(
+                            key, start,
+                            '{:.2f}'.format(end) if end is not None
+                            else '-', tokenizer.detokenize(seg)[0]))
             line = '{} {}'.format(key, tokenizer.detokenize(tokens)[0])
             logging.info('%s %s', mode, line)
             files[mode].write(line + '\n')
@@ -205,7 +234,8 @@ def main():
                 batch_meta.append(batch['keys'])
                 yield (batch['feats'], batch['feats_lengths'],
                        {'tasks': batch['tasks'],
-                        'langs': batch['langs']})
+                        'langs': batch['langs'],
+                        'no_timestamp': not args.timestamps})
 
         # only the attention pipeline consumes the whisper-style
         # task/lang infos; the others take (feats, lengths) pairs
@@ -213,7 +243,7 @@ def main():
         src = ((f, l) for f, l, _ in feed()) if two_arg else feed()
         for hyps in pipelined(src):
             write_results(batch_meta.pop(0), mode, hyps)
-        for f in files.values():
+        for f in list(files.values()) + list(seg_files.values()):
             f.close()
         return
 
@@ -253,10 +283,11 @@ def main():
                 blank_penalty=args.blank_penalty,
                 length_penalty=args.length_penalty,
                 infos={'tasks': batch['tasks'],
-                       'langs': batch['langs']}))
+                       'langs': batch['langs'],
+                       'no_timestamp': not args.timestamps}))
         for mode, hyps in results.items():
             write_results(keys, mode, hyps)
-    for f in files.values():
+    for f in list(files.values()) + list(seg_files.values()):
         f.close()
 
 

@@ -391,13 +391,80 @@ def ctc_prefix_beam_search(
 # ---------------------------------------------------------------------------
 # attention beam search (scan)
 # ---------------------------------------------------------------------------
+def _apply_timestamp_rules(logp, last, pen, pen_exists, ts_max,
+                           ts_begin: int, eot: int):
+    """Whisper timestamp grammar as a vectorized log-prob filter.
+
+    Semantics follow OpenAI whisper's ApplyTimestampRules (the
+    reference's decode for `no_timestamp=False` is unimplemented —
+    ref wenet/utils/common.py:217), with one deliberate tightening:
+    special tokens in (eot, ts_begin) are folded into the "text"
+    suppression mask so a forced-timestamp/forced-text step can never
+    emit a prompt token mid-transcript.
+
+    Args:
+      logp: (R, V) per-beam log-probs for the next token.
+      last / pen: (R,) last and penultimate tokens of the sampled
+        suffix (the suffix includes the prompt's <|0.00|> anchor).
+      pen_exists: traced scalar bool — False while the suffix has
+        length 1 (then the penultimate *counts as* a timestamp,
+        matching the ``len(seq) < 2`` convention, so the step after
+        the anchor must emit text).
+      ts_max: (R,) latest timestamp token emitted so far (seeded with
+        the anchor, always >= ts_begin).
+    """
+    V = logp.shape[1]
+    neg = jnp.asarray(-1e30, logp.dtype)
+    vocab = jnp.arange(V)
+    is_ts = vocab >= ts_begin  # (V,)
+    last_is_ts = last >= ts_begin  # (R,)
+    pen_is_ts = jnp.where(pen_exists, pen >= ts_begin, True)
+
+    # prompt/special tokens in (eot, ts_begin) are never valid
+    # generations (OpenAI keeps an always-on SuppressTokens filter for
+    # the same range)
+    is_special = (vocab > eot) & (vocab < ts_begin)
+    logp = jnp.where(is_special[None, :], neg, logp)
+
+    # pairing: after <ts><ts> (or the lone anchor) the next token must
+    # be text; after a single <ts> the next must be <ts> or <eot>
+    suppress_ts = last_is_ts & pen_is_ts
+    suppress_text = last_is_ts & ~pen_is_ts
+    is_textish = (vocab < ts_begin) & (vocab != eot)
+    logp = jnp.where(suppress_ts[:, None] & is_ts[None, :], neg, logp)
+    logp = jnp.where(suppress_text[:, None] & is_textish[None, :], neg,
+                     logp)
+
+    # monotonicity: a closing timestamp may repeat the opening one,
+    # the next opening must be strictly later
+    min_allowed = jnp.where(last_is_ts & ~pen_is_ts, ts_max, ts_max + 1)
+    below = vocab[None, :] < min_allowed[:, None]
+    logp = jnp.where(is_ts[None, :] & below, neg, logp)
+
+    # mass rule: if the total timestamp probability beats every
+    # individual non-timestamp token, force a timestamp (the row-wise
+    # comparison is shift-invariant, so the already-masked unnormalized
+    # log-probs need no re-softmax)
+    ts_mass = jax.nn.logsumexp(
+        jnp.where(is_ts[None, :], logp, neg), axis=1)
+    text_best = jnp.max(jnp.where(is_ts[None, :], neg, logp), axis=1)
+    force_ts = ts_mass > text_best
+    logp = jnp.where(force_ts[:, None] & ~is_ts[None, :], neg, logp)
+    return logp
+
+
 def _attention_beam_program(model, beam_size: int, length_penalty: float,
-                            prefix_len: int):
+                            prefix_len: int, ts_rules=None):
     """The whole beam search as ONE jitted program: decoder steps run
     inside a `lax.while_loop` that exits on-device as soon as every beam
     emitted <eos> — no per-step host sync (the reference host loop is
     search.py:302-354; VERDICT.md round-1 weakness #1 was a
-    device->host `jnp.all` poll per step)."""
+    device->host `jnp.all` poll per step).
+
+    ts_rules: None, or (timestamp_begin, eot) — enables the whisper
+    timestamp grammar on every generated step (see
+    `_apply_timestamp_rules`; the prompt then ends with the <|0.00|>
+    anchor, `whisper/tokens.py build_whisper_prefix`)."""
     N = beam_size
 
     def fn(variables, encoder_out, encoder_mask, prefix):
@@ -435,12 +502,31 @@ def _attention_beam_program(model, beam_size: int, length_penalty: float,
             logp, state = apply_step(prefix[:, i:i + 1], jnp.asarray(i),
                                      state)
 
+        # sampled-suffix bookkeeping for the timestamp grammar: the
+        # suffix starts at the prompt's <|0.00|> anchor (last prefix
+        # column), and ts_max carries the latest emitted timestamp
+        if ts_rules is not None:
+            ts_begin, eot_id = ts_rules
+            sample_begin = prefix_len - 1
+            ts_max = jnp.max(
+                jnp.where(prefix >= ts_begin, prefix, ts_begin), axis=1)
+        else:
+            ts_max = jnp.zeros((running,), jnp.int32)
+
         def cond_fn(carry):
-            i, _, _, end_flag, _, _ = carry
+            i, _, _, end_flag, _, _, _ = carry
             return (i < max_steps) & ~jnp.all(end_flag)
 
         def body_fn(carry):
-            i, hyps, scores, end_flag, state, logp = carry
+            i, hyps, scores, end_flag, state, logp, ts_max = carry
+            if ts_rules is not None:
+                last = jax.lax.dynamic_slice_in_dim(
+                    hyps, i - 1, 1, axis=1)[:, 0]
+                pen = jax.lax.dynamic_slice_in_dim(
+                    hyps, i - 2, 1, axis=1)[:, 0]
+                logp = _apply_timestamp_rules(
+                    logp, last, pen, (i - sample_begin) >= 2, ts_max,
+                    ts_begin, eot_id)
             top_k_logp, top_k_index = jax.lax.top_k(logp, N)  # (B*N, N)
             top_k_logp = mask_finished_scores(top_k_logp, end_flag)
             top_k_index = mask_finished_preds(top_k_index, end_flag, eos)
@@ -461,13 +547,21 @@ def _attention_beam_program(model, beam_size: int, length_penalty: float,
                 hyps, best_k_pred.astype(jnp.int32)[:, None], i, axis=1)
             scores = s.reshape(-1, 1)
             end_flag = (best_k_pred == eos).reshape(-1, 1)
+            if ts_rules is not None:
+                ts_max_new = jnp.take(ts_max, cache_index)
+                ts_max_new = jnp.where(
+                    best_k_pred >= ts_begin,
+                    jnp.maximum(ts_max_new, best_k_pred), ts_max_new)
+            else:
+                ts_max_new = ts_max
             logp, state = apply_step(best_k_pred.reshape(-1, 1), i, state)
-            return (i + 1, hyps, scores, end_flag, state, logp)
+            return (i + 1, hyps, scores, end_flag, state, logp,
+                    ts_max_new)
 
         carry = (jnp.asarray(prefix_len), hyps, scores, end_flag, state,
-                 logp)
+                 logp, ts_max)
         carry = jax.lax.while_loop(cond_fn, body_fn, carry)
-        _, hyps, scores, _, _, _ = carry
+        _, hyps, scores, _, _, _, _ = carry
 
         scores = scores.reshape(B, N)
         lengths = jnp.sum(hyps != eos, axis=1).reshape(B, N).astype(
@@ -499,12 +593,13 @@ def attention_beam_dispatch(
     prefix_len) without blocking — so batch pipelines can overlap the
     fetch (AsrRunner.decode_attention_batches)."""
     B = encoder_out.shape[0]
-    prefix = _decode_prefix(model, B, beam_size, infos)
+    prefix, ts_rules = _decode_prefix(model, B, beam_size, infos)
     prefix_len = prefix.shape[1]
-    key = (id(model), beam_size, float(length_penalty), prefix_len)
+    key = (id(model), beam_size, float(length_penalty), prefix_len,
+           ts_rules)
     if key not in _BEAM_CACHE:
         _BEAM_CACHE[key] = _attention_beam_program(
-            model, beam_size, length_penalty, prefix_len)
+            model, beam_size, length_penalty, prefix_len, ts_rules)
     dev = _BEAM_CACHE[key](variables, encoder_out, encoder_mask,
                            jnp.asarray(prefix))
     return dev, prefix_len
@@ -542,19 +637,28 @@ def attention_beam_search(
 
 
 def _decode_prefix(model, B, N, infos):
-    """sos prefix, or whisper special-token prompt. ref: search.py:267-289."""
+    """sos prefix, or whisper special-token prompt; returns
+    (prefix, ts_rules) where ts_rules is (timestamp_begin, eot) when
+    timestamp decoding is requested (infos['no_timestamp']=False) else
+    None. ref: search.py:267-289; timestamp decode goes BEYOND the
+    reference (its common.py:217 raises NotImplementedError)."""
     st = model.special_tokens
     if st is not None and 'transcribe' in dict(st or {}):
         from wenet_tpu.utils.common import IGNORE_ID
         from wenet_tpu.models.whisper.tokens import build_whisper_prefix
         tasks = (infos or {}).get('tasks', ['transcribe'] * B)
         langs = (infos or {}).get('langs', ['en'] * B)
+        no_ts = bool((infos or {}).get('no_timestamp', True))
         rows = []
         for b in range(B):
-            row = build_whisper_prefix(dict(st), tasks[b], langs[b])
+            row = build_whisper_prefix(dict(st), tasks[b], langs[b],
+                                       no_timestamp=no_ts)
             rows.extend([row] * N)
-        return jnp.asarray(rows, jnp.int32)
-    return jnp.full((B * N, 1), model.sos, jnp.int32)
+        ts_rules = (None if no_ts else
+                    (int(dict(st)['timestamp_begin']),
+                     int(dict(st)['eot'])))
+        return jnp.asarray(rows, jnp.int32), ts_rules
+    return jnp.full((B * N, 1), model.sos, jnp.int32), None
 
 
 # ---------------------------------------------------------------------------
@@ -672,7 +776,7 @@ def attention_rescoring_dispatch(
                   default=0)
     # conditioning prefix: [sos], or the whisper special-token prompt
     # (per-utterance lang/task from infos — ref search.py:403-419)
-    prefix = np.asarray(_decode_prefix(model, B, 1, infos))  # (B, P)
+    prefix = np.asarray(_decode_prefix(model, B, 1, infos)[0])  # (B, P)
     P = prefix.shape[1]
     # bucket the token dim to a multiple of 8 to bound recompiles
     L = max(8, -(-max_len // 8) * 8)
